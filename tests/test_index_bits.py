@@ -1,0 +1,133 @@
+"""Bit-math kernel goldens from the reference test suite
+(/root/reference/tests/test_h3pandas.py:183-211,451-468,604-609)."""
+
+import numpy as np
+import pytest
+
+from sparkh3.kernel import index as ix
+
+
+def s2i(*cells):
+    return ix.str_to_int(list(cells))
+
+
+def i2s(arr):
+    return list(ix.int_to_str(arr))
+
+
+H3_CELLS_RES9 = ["891f1d48177ffff", "891f1d48167ffff", "891f1d4810fffff"]
+INDEXED_RES9 = ["891e3097383ffff", "891e2659c2fffff"]
+
+
+class TestResolutionBaseCell:
+    def test_resolution(self):
+        assert list(ix.get_resolution(s2i(*H3_CELLS_RES9))) == [9, 9, 9]
+
+    def test_base_cell(self):
+        # test_h3pandas.py:466 — base cell 15 for both indexed cells
+        assert list(ix.get_base_cell(s2i(*INDEXED_RES9))) == [15, 15]
+
+
+class TestParent:
+    def test_parent_res1(self):
+        got = i2s(ix.cell_to_parent(s2i(*H3_CELLS_RES9), 1))
+        assert got == ["811f3ffffffffff"] * 3
+
+    def test_direct_parent(self):
+        got = i2s(ix.cell_to_parent(s2i(*H3_CELLS_RES9), 8))
+        assert got == ["881f1d4817fffff", "881f1d4817fffff", "881f1d4811fffff"]
+
+    def test_parent_res0(self):
+        got = i2s(ix.cell_to_parent(s2i(*H3_CELLS_RES9), 0))
+        assert got == ["801ffffffffffff"] * 3
+
+    def test_parent_res_above_child_raises(self):
+        with pytest.raises(ValueError):
+            ix.cell_to_parent(s2i(*H3_CELLS_RES9), 10)
+
+
+class TestCenterChild:
+    def test_center_child(self):
+        # test_h3pandas.py:205-211 (res 9 -> default next res 10)
+        got = i2s(ix.cell_to_center_child(s2i(*INDEXED_RES9), 10))
+        assert got == ["8a1e30973807fff", "8a1e2659c2c7fff"]
+
+
+class TestValidity:
+    def test_valid(self):
+        assert ix.is_valid_cell(s2i(*INDEXED_RES9)).all()
+
+    def test_invalid_string(self):
+        v = ix.str_to_int(["891e3097383ffff", "invalid"])
+        assert list(ix.is_valid_cell(v)) == [True, False]
+
+    def test_invalid_trailing_digit(self):
+        # decorator test golden: '891f1d48177fff1' is invalid (digit < 7 past res)
+        v = ix.str_to_int(["891f1d48177fff1"])
+        assert not ix.is_valid_cell(v)[0]
+
+    def test_res0_valid(self):
+        assert ix.is_valid_cell(s2i("801ffffffffffff", "8001fffffffffff")).all()
+
+    def test_bad_base_cell(self):
+        # base cell 122 is out of range
+        h = ix.set_resolution(np.uint64(0), 0)
+        h = (np.uint64(1) << np.uint64(59)) | (np.uint64(122) << np.uint64(45))
+        h = h | np.uint64((1 << 45) - 1)
+        assert not ix.is_valid_cell(np.array([h]))[0]
+
+
+class TestLadder:
+    """Multi-resolution ladder from reference docstrings/README:
+    (50,14): res1 811e3ffffffffff, res8 881e309739fffff, res9 891e3097383ffff,
+    res10 8a1e30973807fff."""
+
+    def test_parent_chain(self):
+        r10 = s2i("8a1e30973807fff")
+        assert i2s(ix.cell_to_parent(r10, 9)) == ["891e3097383ffff"]
+        assert i2s(ix.cell_to_parent(r10, 8)) == ["881e309739fffff"]
+        assert i2s(ix.cell_to_parent(r10, 1)) == ["811e3ffffffffff"]
+
+
+class TestChildrenCompact:
+    def test_children_roundtrip(self):
+        h = s2i("881f1d4817fffff")
+        kids = ix.cell_to_children(h, 9)
+        assert len(kids) == 7
+        assert set(i2s(ix.cell_to_parent(kids, 8))) == {"881f1d4817fffff"}
+        assert "891f1d48177ffff" in i2s(kids)
+        assert "891f1d48167ffff" in i2s(kids)
+
+    def test_compact_uncompact_roundtrip(self):
+        h = s2i("811f3ffffffffff")
+        kids = ix.uncompact_cells(h, 4)
+        assert len(kids) == 7**3
+        packed = ix.compact_cells(kids)
+        assert i2s(packed) == ["811f3ffffffffff"]
+
+    def test_compact_partial(self):
+        h = s2i("811f3ffffffffff")
+        kids = ix.uncompact_cells(h, 2)
+        sub = kids[1:]  # drop one child -> cannot fully compact
+        packed = ix.compact_cells(sub)
+        assert len(packed) == 6
+        assert set(i2s(packed)) == set(i2s(sub))
+
+    def test_pentagon_children(self):
+        # base cell 4 is a pentagon: res0 cell has 6 children at res 1
+        pent = ix.build_cell(4, 0, np.full((1, 15), 7, dtype=np.int64))
+        assert ix.is_pentagon(pent).all()
+        kids = ix.cell_to_children(pent, 1)
+        assert len(kids) == 6
+        assert int(ix.cell_to_children_count(pent, 2)[0]) == 1 + 5 * (49 - 1) // 6
+
+
+class TestRotations:
+    def test_rotate_inverse(self):
+        h = s2i(*H3_CELLS_RES9)
+        assert np.array_equal(ix.rotate60cw(ix.rotate60ccw(h)), h)
+
+    def test_leading_digit(self):
+        h = s2i("891e3097383ffff")
+        lead = ix.leading_non_zero_digit(h)
+        assert 1 <= int(lead[0]) <= 6
