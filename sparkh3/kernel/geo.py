@@ -1,0 +1,329 @@
+"""Core H3 conversions: latlng_to_cell, cell_to_latlng, cell_to_boundary,
+cell_area — vectorized NumPy implementations of the public H3 spec
+algorithms (faceijk pipeline), validated against the reference golden
+suite (/root/reference/tests/test_h3pandas.py:118-179,205-211,443-448).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import ijk as IJK
+from . import index as ix
+from . import proj
+from .constants import (
+    BASE_CELL_DATA,
+    EARTH_RADIUS_KM,
+    FACE_NEIGHBORS,
+    IJ_QUADRANT,
+    JK_QUADRANT,
+    KI_QUADRANT,
+    MAX_DIM_BY_CII_RES,
+    UNIT_SCALE_BY_CII_RES,
+)
+
+_NO_OVERAGE = 0
+_FACE_EDGE = 1
+_NEW_FACE = 2
+
+# cell boundary vertex offsets in the substrate grid (public spec):
+# Class II (aperture 33r) and Class III (aperture 33r7r)
+_VERTS_CII = np.array(
+    [[2, 1, 0], [1, 2, 0], [0, 2, 1], [0, 1, 2], [1, 0, 2], [2, 0, 1]], dtype=np.int64
+)
+_VERTS_CIII = np.array(
+    [[5, 4, 0], [1, 5, 0], [0, 5, 4], [0, 1, 5], [4, 0, 5], [5, 0, 1]], dtype=np.int64
+)
+
+
+def _adjust_overage_class2(face, ijk, res_arr, pent4, substrate, active):
+    """Vectorized _adjustOverageClassII. Returns (overage, face, ijk)."""
+    mult = 3 if substrate else 1
+    max_dim = MAX_DIM_BY_CII_RES[res_arr] * mult
+    s = ijk.sum(axis=-1)
+    ov = np.where(s > max_dim, _NEW_FACE, np.where(s == max_dim, _FACE_EDGE, _NO_OVERAGE))
+    ov = np.where(active, ov, _NO_OVERAGE)
+    m = active & (s > max_dim)
+    if not np.any(m):
+        return ov, face, ijk
+    k_pos = ijk[..., 2] > 0
+    j_pos = ijk[..., 1] > 0
+    quad = np.where(k_pos & j_pos, JK_QUADRANT, np.where(k_pos, KI_QUADRANT, IJ_QUADRANT))
+    # pentagon "leading digit 4" adjustment in the KI quadrant
+    fix = m & np.asarray(pent4, dtype=bool) & k_pos & ~j_pos
+    if np.any(fix):
+        origin = np.zeros_like(ijk)
+        origin[..., 0] = max_dim
+        t = IJK.rotate60cw(ijk - origin) + origin
+        ijk = np.where(fix[..., None], t, ijk)
+    orient = FACE_NEIGHBORS[face, quad]  # (..., 5)
+    nface = orient[..., 0]
+    rot = orient[..., 4]
+    trans = orient[..., 1:4]
+    out = ijk
+    for n in range(1, 6):
+        rmask = m & (rot >= n)
+        if not np.any(rmask):
+            break
+        out = np.where(rmask[..., None], IJK.rotate60ccw(out), out)
+    unit = (UNIT_SCALE_BY_CII_RES[res_arr] * mult)[..., None]
+    out = IJK.normalize(out + trans * unit)
+    ijk = np.where(m[..., None], out, ijk)
+    face = np.where(m, nface, face)
+    if substrate:
+        s2 = ijk.sum(axis=-1)
+        ov = np.where(m & (s2 == max_dim), _FACE_EDGE, ov)
+    return ov, face, ijk
+
+
+def cell_to_faceijk(h: np.ndarray):
+    """H3 cells -> (face, ijk at cell res, res). Vectorized."""
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    res = ix.get_resolution(h)
+    bc = ix.get_base_cell(h)
+    pent = ix.is_pentagon_base(bc)
+    lead = ix.leading_non_zero_digit(h)
+    h2 = np.where(pent & (lead == ix.IK_AXES_DIGIT), ix.rotate60cw(h), h)
+    face = BASE_CELL_DATA[bc, 0].copy()
+    ijk = BASE_CELL_DATA[bc, 1:4].copy()
+    possible_overage = ~(
+        (~pent) & ((res == 0) | np.all(ijk == 0, axis=-1))
+    )
+    max_res = int(res.max()) if res.size else 0
+    for r in range(1, max_res + 1):
+        act = r <= res
+        if r % 2:  # Class III
+            nxt = IJK.down_ap7(ijk)
+        else:
+            nxt = IJK.down_ap7r(ijk)
+        nxt = IJK.neighbor(nxt, ix.get_digit(h2, r))
+        ijk = np.where(act[..., None], nxt, ijk)
+
+    if not np.any(possible_overage):
+        return face, ijk, res
+
+    orig = ijk.copy()
+    cls3 = (res % 2) == 1
+    sub_m = possible_overage & cls3
+    ijk = np.where(sub_m[..., None], IJK.down_ap7r(ijk), ijk)
+    adj_res = res + sub_m.astype(np.int64)
+    lead2 = ix.leading_non_zero_digit(h2)
+    pent4 = pent & (lead2 == ix.I_AXES_DIGIT)
+    ov, face, ijk = _adjust_overage_class2(
+        face, ijk, adj_res, pent4, substrate=False, active=possible_overage
+    )
+    first_ov = ov != _NO_OVERAGE
+    # pentagon base cells may need multiple adjustments
+    loop = pent & possible_overage & (ov == _NEW_FACE)
+    guard = 0
+    while np.any(loop) and guard < 8:
+        ov2, face, ijk = _adjust_overage_class2(
+            face, ijk, adj_res, np.zeros_like(pent4), substrate=False, active=loop
+        )
+        loop = loop & (ov2 == _NEW_FACE)
+        guard += 1
+    need_up = sub_m & first_ov
+    ijk = np.where(need_up[..., None], IJK.up_ap7r(ijk), ijk)
+    restore = sub_m & ~first_ov
+    ijk = np.where(restore[..., None], orig, ijk)
+    return face, ijk, res
+
+
+def _cells_to_latlng_uniform(h: np.ndarray, res: int):
+    face, ijk, _ = cell_to_faceijk(h)
+    pt = IJK.ijk_to_hex2d(ijk)
+    return proj.hex2d_to_geo(pt, face, res=res, substrate=False)
+
+
+def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
+    """Cell centers in degrees (lat, lng). Mixed resolutions supported."""
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    res = ix.get_resolution(h)
+    lat = np.empty(h.shape, dtype=np.float64)
+    lng = np.empty(h.shape, dtype=np.float64)
+    for r in np.unique(res):
+        m = res == r
+        la, lo = _cells_to_latlng_uniform(h[m], int(r))
+        lat[m] = la
+        lng[m] = lo
+    return np.degrees(lat), np.degrees(lng)
+
+
+def _latlng_to_cell_impl(lat, lng, res: int, tables, debug=False):
+    """Radians in. `tables` = (bc_table, rot_table, pent_cw).
+    Returns cells (and optionally (bc, face, lead))."""
+    bc_table, rot_table, pent_cw = tables
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+    face, r_ang = proj.nearest_face(lat, lng)
+    pt = proj.geo_to_hex2d_on_face(lat, lng, face, res, r_ang=r_ang)
+    ijk = IJK.hex2d_to_ijk(pt)
+
+    n = lat.shape[0]
+    digits = np.full((n, 15), ix.INVALID_DIGIT, dtype=np.int64)
+    cur = ijk
+    for r in range(res, 0, -1):
+        last = cur
+        if r % 2:  # Class III
+            cur = IJK.up_ap7(last)
+            center = IJK.down_ap7(cur)
+        else:
+            cur = IJK.up_ap7r(last)
+            center = IJK.down_ap7r(cur)
+        digits[:, r - 1] = IJK.unit_ijk_to_digit(IJK.normalize(last - center))
+
+    i0 = np.clip(cur[:, 0], 0, 2)
+    j0 = np.clip(cur[:, 1], 0, 2)
+    k0 = np.clip(cur[:, 2], 0, 2)
+    oob = (cur[:, 0] > 2) | (cur[:, 1] > 2) | (cur[:, 2] > 2)
+    bc = bc_table[face, i0, j0, k0]
+    rots = rot_table[face, i0, j0, k0]
+    if np.any(oob) or np.any(bc < 0):
+        bad = np.where(oob | (bc < 0))[0][:5]
+        raise AssertionError(
+            f"res-0 lattice lookup out of range for rows {bad}: "
+            f"ijk={cur[bad]}, face={face[bad]}"
+        )
+
+    h = ix.build_cell(bc, res, digits)
+    pent = ix.is_pentagon_base(bc)
+    lead = ix.leading_non_zero_digit(h)
+    if np.any(pent):
+        fix = pent & (lead == ix.K_AXES_DIGIT)
+        if np.any(fix):
+            cw = pent_cw[bc, face]
+            h = np.where(fix & cw, ix.rotate60cw(h), np.where(fix & ~cw, ix.rotate60ccw(h), h))
+        for nrot in range(1, 6):
+            m = pent & (rots >= nrot)
+            if not np.any(m):
+                break
+            h = np.where(m, ix.rotate_pent60ccw(h), h)
+    hexm = ~pent
+    for nrot in range(1, 6):
+        m = hexm & (rots >= nrot)
+        if not np.any(m):
+            break
+        h = np.where(m, ix.rotate60ccw(h), h)
+    if debug:
+        return h, bc, face, lead
+    return h
+
+
+def latlng_to_cell(lat, lng, res: int) -> np.ndarray:
+    """(degrees lat, degrees lng) -> H3 cell at `res`. Vectorized.
+
+    Goldens: reference tests/test_h3pandas.py:118-121 and the docstring
+    ladder (res 1/8/9/10 for (50,14) and (51,15)).
+    """
+    from .tables import face_ijk_tables
+
+    lat = np.radians(np.atleast_1d(np.asarray(lat, dtype=np.float64)))
+    lng = np.radians(np.atleast_1d(np.asarray(lng, dtype=np.float64)))
+    return _latlng_to_cell_impl(lat, lng, res, face_ijk_tables())
+
+
+# ---------------------------------------------------------------------------
+# boundary + area
+# ---------------------------------------------------------------------------
+
+
+def cell_to_boundary(h) -> list[np.ndarray]:
+    """Boundary vertices per cell as (n_verts, 2) arrays of (lat, lng) degrees.
+
+    Class III cells crossing icosahedron edges canonically gain extra
+    distortion vertices; v1 emits the 6 (5 for pentagons) primary vertices.
+    Goldens: reference tests/test_h3pandas.py:147-165.
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    res_all = ix.get_resolution(h)
+    out: list[np.ndarray | None] = [None] * len(h)
+    for r in np.unique(res_all):
+        sel = np.where(res_all == r)[0]
+        hh = h[sel]
+        res = int(r)
+        face, ijk, _ = cell_to_faceijk(hh)
+        pent = ix.is_pentagon(hh)
+        # center -> substrate grid
+        center = IJK.down_ap3r(IJK.down_ap3(ijk))
+        adj_res = res
+        if res % 2:
+            center = IJK.down_ap7r(center)
+            adj_res = res + 1
+        verts = _VERTS_CIII if res % 2 else _VERTS_CII
+        n = len(hh)
+        lat_v = np.empty((n, 6), dtype=np.float64)
+        lng_v = np.empty((n, 6), dtype=np.float64)
+        adj_res_arr = np.full(n, adj_res, dtype=np.int64)
+        for v in range(6):
+            fv = IJK.normalize(center + verts[v])
+            facev = face.copy()
+            ov = np.ones(n, dtype=bool)
+            guard = 0
+            fcur = facev
+            vcur = fv
+            act = np.ones(n, dtype=bool)
+            while np.any(act) and guard < 4:
+                code, fcur, vcur = _adjust_overage_class2(
+                    fcur, vcur, adj_res_arr, np.zeros(n, bool), substrate=True, active=act
+                )
+                act = act & (code == _NEW_FACE) & pent  # only pentagons loop
+                guard += 1
+            la, lo = proj.hex2d_to_geo(
+                IJK.ijk_to_hex2d(vcur), fcur, res=adj_res, substrate=True
+            )
+            lat_v[:, v] = la
+            lng_v[:, v] = lo
+        for row, gi in enumerate(sel):
+            if pent[row]:
+                # drop duplicate vertex for pentagons
+                pts = np.stack([lat_v[row], lng_v[row]], axis=-1)
+                _, uniq_idx = np.unique(pts.round(12), axis=0, return_index=True)
+                pts = pts[np.sort(uniq_idx)]
+                out[gi] = np.degrees(pts)
+            else:
+                out[gi] = np.degrees(np.stack([lat_v[row], lng_v[row]], axis=-1))
+    return out  # type: ignore[return-value]
+
+
+def _tri_area_rads2(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Spherical triangle area (steradians) via L'Huilier, from unit vectors."""
+
+    def _ang(u, v):
+        d = np.linalg.norm(u - v, axis=-1)
+        return 2.0 * np.arcsin(np.clip(d / 2.0, -1.0, 1.0))
+
+    ab = _ang(a, b)
+    bc_ = _ang(b, c)
+    ca = _ang(c, a)
+    s = (ab + bc_ + ca) / 2.0
+    t = (
+        np.tan(s / 2.0)
+        * np.tan((s - ab) / 2.0)
+        * np.tan((s - bc_) / 2.0)
+        * np.tan((s - ca) / 2.0)
+    )
+    return 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
+
+
+def cell_area(h, unit: str = "km^2") -> np.ndarray:
+    """Cell area. Units: km^2, m^2, rads^2.
+
+    Golden: 0.09937867173389912 km^2 for 891e3097383ffff
+    (reference tests/test_h3pandas.py:443-448).
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
+    bounds = cell_to_boundary(h)
+    clat, clng = cell_to_latlng(h)
+    cvec = proj.geo_to_vec3(np.radians(clat), np.radians(clng))
+    out = np.empty(len(h), dtype=np.float64)
+    for i, b in enumerate(bounds):
+        bv = proj.geo_to_vec3(np.radians(b[:, 0]), np.radians(b[:, 1]))
+        nxt = np.roll(bv, -1, axis=0)
+        out[i] = _tri_area_rads2(bv, nxt, cvec[i][None, :].repeat(len(bv), 0)).sum()
+    if unit == "rads^2":
+        return out
+    if unit == "km^2":
+        return out * EARTH_RADIUS_KM * EARTH_RADIUS_KM
+    if unit == "m^2":
+        return out * EARTH_RADIUS_KM * EARTH_RADIUS_KM * 1e6
+    raise ValueError(f"unknown unit: {unit}")
