@@ -227,6 +227,41 @@ def latlng_to_cell(lat, lng, res: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _boundary_verts_uniform(hh: np.ndarray, res: int) -> np.ndarray:
+    """(N, 6, 2) boundary vertices in radians (lat, lng) for uniform-res
+    cells. Pentagons yield 6 rows of which two coincide."""
+    face, ijk, _ = cell_to_faceijk(hh)
+    pent = ix.is_pentagon(hh)
+    # center -> substrate grid
+    center = IJK.down_ap3r(IJK.down_ap3(ijk))
+    adj_res = res
+    if res % 2:
+        center = IJK.down_ap7r(center)
+        adj_res = res + 1
+    verts = _VERTS_CIII if res % 2 else _VERTS_CII
+    n = len(hh)
+    out = np.empty((n, 6, 2), dtype=np.float64)
+    adj_res_arr = np.full(n, adj_res, dtype=np.int64)
+    for v in range(6):
+        fv = IJK.normalize(center + verts[v])
+        fcur = face.copy()
+        vcur = fv
+        act = np.ones(n, dtype=bool)
+        guard = 0
+        while np.any(act) and guard < 4:
+            code, fcur, vcur = _adjust_overage_class2(
+                fcur, vcur, adj_res_arr, np.zeros(n, bool), substrate=True, active=act
+            )
+            act = act & (code == _NEW_FACE) & pent  # only pentagons loop
+            guard += 1
+        la, lo = proj.hex2d_to_geo(
+            IJK.ijk_to_hex2d(vcur), fcur, res=adj_res, substrate=True
+        )
+        out[:, v, 0] = la
+        out[:, v, 1] = lo
+    return out
+
+
 def cell_to_boundary(h) -> list[np.ndarray]:
     """Boundary vertices per cell as (n_verts, 2) arrays of (lat, lng) degrees.
 
@@ -240,48 +275,14 @@ def cell_to_boundary(h) -> list[np.ndarray]:
     for r in np.unique(res_all):
         sel = np.where(res_all == r)[0]
         hh = h[sel]
-        res = int(r)
-        face, ijk, _ = cell_to_faceijk(hh)
         pent = ix.is_pentagon(hh)
-        # center -> substrate grid
-        center = IJK.down_ap3r(IJK.down_ap3(ijk))
-        adj_res = res
-        if res % 2:
-            center = IJK.down_ap7r(center)
-            adj_res = res + 1
-        verts = _VERTS_CIII if res % 2 else _VERTS_CII
-        n = len(hh)
-        lat_v = np.empty((n, 6), dtype=np.float64)
-        lng_v = np.empty((n, 6), dtype=np.float64)
-        adj_res_arr = np.full(n, adj_res, dtype=np.int64)
-        for v in range(6):
-            fv = IJK.normalize(center + verts[v])
-            facev = face.copy()
-            ov = np.ones(n, dtype=bool)
-            guard = 0
-            fcur = facev
-            vcur = fv
-            act = np.ones(n, dtype=bool)
-            while np.any(act) and guard < 4:
-                code, fcur, vcur = _adjust_overage_class2(
-                    fcur, vcur, adj_res_arr, np.zeros(n, bool), substrate=True, active=act
-                )
-                act = act & (code == _NEW_FACE) & pent  # only pentagons loop
-                guard += 1
-            la, lo = proj.hex2d_to_geo(
-                IJK.ijk_to_hex2d(vcur), fcur, res=adj_res, substrate=True
-            )
-            lat_v[:, v] = la
-            lng_v[:, v] = lo
+        vv = _boundary_verts_uniform(hh, int(r))
         for row, gi in enumerate(sel):
+            pts = vv[row]
             if pent[row]:
-                # drop duplicate vertex for pentagons
-                pts = np.stack([lat_v[row], lng_v[row]], axis=-1)
                 _, uniq_idx = np.unique(pts.round(12), axis=0, return_index=True)
                 pts = pts[np.sort(uniq_idx)]
-                out[gi] = np.degrees(pts)
-            else:
-                out[gi] = np.degrees(np.stack([lat_v[row], lng_v[row]], axis=-1))
+            out[gi] = np.degrees(pts)
     return out  # type: ignore[return-value]
 
 

@@ -184,11 +184,16 @@ def cube_to_ijk(cube: np.ndarray) -> np.ndarray:
     return normalize(np.stack([i, j, k], axis=-1))
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """C round(): round half away from zero (np.rint is half-to-even)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
 def cube_round(fx: np.ndarray) -> np.ndarray:
     """Round fractional cube coords to the nearest hex (largest-residual fix)."""
-    ri = np.rint(fx[..., 0])
-    rj = np.rint(fx[..., 1])
-    rk = np.rint(fx[..., 2])
+    ri = _round_half_away(fx[..., 0])
+    rj = _round_half_away(fx[..., 1])
+    rk = _round_half_away(fx[..., 2])
     di = np.abs(ri - fx[..., 0])
     dj = np.abs(rj - fx[..., 1])
     dk = np.abs(rk - fx[..., 2])

@@ -1,0 +1,140 @@
+"""Polygon coverage: point-in-polygon (even-odd ray cast, planar in
+lat/lng like the public H3 polygon algorithms) and polygon_to_cells with
+center-containment semantics ("cells whose centroid is inside"), holes
+subtracting and MultiPolygon as union — matching the reference polyfill
+behavior (reference h3pandas.py:357-407, tests/util/test_shapely.py:39-57).
+
+Algorithm: densified edge trace -> candidate band (edge cells + 1-ring)
+-> BFS interior fill through center-inside cells. Exact w.r.t.
+center-containment; no bounding-box scans, so cost scales with the
+polygon's cell count, not its bbox.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geo
+from . import traversal as tv
+
+# ring: (M, 2) array of (lat, lng) degrees, closed or open
+Rings = list[np.ndarray]
+
+
+def _normalize_rings(rings: Rings) -> tuple[Rings, bool]:
+    """Shift transmeridian rings into a continuous lng frame (+360 on the
+    negative side). Returns (rings, shifted?)."""
+    shifted = False
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        lng = r[:, 1]
+        if lng.max() - lng.min() > 180.0:
+            shifted = True
+            r = r.copy()
+            r[:, 1] = np.where(lng < 0.0, lng + 360.0, lng)
+        out.append(r)
+    return out, shifted
+
+
+def points_in_rings(lat: np.ndarray, lng: np.ndarray, rings: Rings) -> np.ndarray:
+    """Even-odd containment of points vs the union of ring boundaries
+    (outer ring + holes together implement 'holes subtract')."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    rings, shifted = _normalize_rings(rings)
+    if shifted:
+        lng = np.where(lng < 0.0, lng + 360.0, lng)
+    inside = np.zeros(lat.shape, dtype=bool)
+    for ring in rings:
+        r = ring
+        if not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        y1 = r[:-1, 0][None, :]
+        x1 = r[:-1, 1][None, :]
+        y2 = r[1:, 0][None, :]
+        x2 = r[1:, 1][None, :]
+        yp = lat[:, None]
+        xp = lng[:, None]
+        cross = (y1 > yp) != (y2 > yp)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (yp - y1) / (y2 - y1) + x1
+        hit = cross & (xp < xint)
+        inside ^= (hit.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def _densify_edges(rings: Rings, step_deg: float) -> tuple[np.ndarray, np.ndarray]:
+    """Sample points along every ring edge at ~step_deg spacing (3D lerp)."""
+    from . import proj
+
+    lats = []
+    lngs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        a = r[:-1]
+        b = r[1:]
+        v1 = proj.geo_to_vec3(np.radians(a[:, 0]), np.radians(a[:, 1]))
+        v2 = proj.geo_to_vec3(np.radians(b[:, 0]), np.radians(b[:, 1]))
+        seg_len = np.degrees(
+            2 * np.arcsin(np.clip(np.linalg.norm(v2 - v1, axis=1) / 2, 0, 1))
+        )
+        for i in range(len(a)):
+            n = max(int(np.ceil(seg_len[i] / step_deg)), 1)
+            t = np.linspace(0.0, 1.0, n + 1)[:, None]
+            pts = v1[i][None, :] * (1 - t) + v2[i][None, :] * t
+            nrm = np.linalg.norm(pts, axis=1, keepdims=True)
+            pts = pts / np.maximum(nrm, 1e-300)
+            la, lo = proj.vec3_to_geo(pts)
+            lats.append(np.degrees(la))
+            lngs.append(np.degrees(lo))
+    return np.concatenate(lats), np.concatenate(lngs)
+
+
+# mean hexagon edge length in degrees by resolution (res-0 edge ~ 20.7 deg
+# of arc / sqrt(7) per res); used only to pick a sampling density.
+_EDGE_DEG_RES0 = 20.0
+
+
+def polygon_to_cells(rings: Rings, res: int) -> np.ndarray:
+    """Cells at `res` whose center falls inside the polygon (first ring =
+    shell, remaining rings = holes, even-odd)."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3]
+    if not rings:
+        return np.array([], dtype=np.uint64)
+    step = max(_EDGE_DEG_RES0 / (7 ** (res / 2.0)) * 0.4, 1e-9)
+    elat, elng = _densify_edges(rings, step)
+    edge_cells = np.unique(geo.latlng_to_cell(elat, elng, res))
+    # candidate band: edge cells + their neighbors
+    _, nb = tv._neighbors_with_owner(edge_cells)
+    band = np.unique(np.concatenate([edge_cells, nb]))
+    clat, clng = geo.cell_to_latlng(band)
+    inside_mask = points_in_rings(clat, clng, rings)
+    result = set(band[inside_mask].tolist())
+    visited = set(band.tolist())
+    frontier = np.array(sorted(result), dtype=np.uint64)
+    while len(frontier):
+        _, nb = tv._neighbors_with_owner(frontier)
+        nb = np.unique(nb)
+        nb = np.array([c for c in nb.tolist() if c not in visited], dtype=np.uint64)
+        if len(nb) == 0:
+            break
+        visited.update(nb.tolist())
+        nlat, nlng = geo.cell_to_latlng(nb)
+        keep = points_in_rings(nlat, nlng, rings)
+        new_inside = nb[keep]
+        result.update(new_inside.tolist())
+        frontier = new_inside
+    return np.array(sorted(result), dtype=np.uint64)
+
+
+def multipolygon_to_cells(polys: list[Rings], res: int) -> np.ndarray:
+    """Union of polygon_to_cells over MultiPolygon parts."""
+    out: list[np.ndarray] = []
+    for rings in polys:
+        out.append(polygon_to_cells(rings, res))
+    if not out:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(out))

@@ -1,0 +1,185 @@
+"""Grid traversal: neighbors, grid_disk (k_ring), grid_ring (hex_ring),
+grid_path (linetrace support).
+
+Neighbor discovery is geometric and exact: for each boundary edge, sample
+a point just beyond the edge midpoint (in 3D, then renormalized to the
+sphere) and snap it with latlng_to_cell — the ground-truth point locator.
+This handles pentagons, icosahedron-edge crossings and both grid classes
+uniformly, with no base-cell neighbor tables.
+
+Goldens: reference tests/test_h3pandas.py:471-601 (k_ring / hex_ring),
+:309-439 + tests/util/test_shapely.py:60-78 (linetrace paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geo
+from . import ijk as IJK
+from . import index as ix
+from . import proj
+
+_EDGE_EPS = 0.10  # fraction of center->edge-midpoint distance beyond the edge
+
+
+def _neighbors_with_owner(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All edge-adjacent neighbors of each cell.
+
+    Returns (owner_idx, neighbor_cell) flat arrays (deduped per owner,
+    self excluded). `cells` must be uniform resolution.
+    """
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    n = len(cells)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    res = int(ix.get_resolution(cells[:1])[0])
+    verts = geo._boundary_verts_uniform(cells, res)  # (N,6,2) radians
+    clat, clng = geo.cell_to_latlng(cells)
+    c3 = proj.geo_to_vec3(np.radians(clat), np.radians(clng))  # (N,3)
+    v3 = proj.geo_to_vec3(verts[..., 0], verts[..., 1])  # (N,6,3)
+    mid = 0.5 * (v3 + np.roll(v3, -1, axis=1))  # chord midpoints (N,6,3)
+    probe = c3[:, None, :] + (mid - c3[:, None, :]) * (1.0 + _EDGE_EPS)
+    probe = probe / np.linalg.norm(probe, axis=-1, keepdims=True)
+    plat, plng = proj.vec3_to_geo(probe.reshape(-1, 3))
+    nb = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res)
+    owner = np.repeat(np.arange(n, dtype=np.int64), 6)
+    keep = nb != cells[owner]
+    owner = owner[keep]
+    nb = nb[keep]
+    # dedupe (owner, nb) pairs
+    pair = np.stack([owner.astype(np.uint64), nb], axis=1)
+    pair = np.unique(pair, axis=0)
+    return pair[:, 0].astype(np.int64), pair[:, 1]
+
+
+def neighbors(cell) -> np.ndarray:
+    """Edge neighbors of a single cell (6, or 5 for pentagons)."""
+    _, nb = _neighbors_with_owner(np.array([cell], dtype=np.uint64))
+    return nb
+
+
+def grid_disk_grouped(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """grid_disk(k) for many origins at once.
+
+    Returns (owner_idx, cell) flat arrays; each owner's group is the full
+    disk including the origin. Output size per owner: 1+3k(k+1) (less near
+    pentagons).
+    """
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    n = len(cells)
+    owner_all = np.arange(n, dtype=np.int64)
+    pairs_all = np.stack([owner_all.astype(np.uint64), cells], axis=1)
+    frontier = pairs_all
+    for _ in range(k):
+        f_owner = frontier[:, 0].astype(np.int64)
+        f_cells = frontier[:, 1]
+        # expand: neighbors of frontier cells, attributed to their owners
+        uniq_cells, inv = np.unique(f_cells, return_inverse=True)
+        nb_o, nb_c = _neighbors_with_owner(uniq_cells)
+        # map neighbor owner (index into uniq_cells) back to disk owners
+        # build per-frontier expansion: for each frontier pair, all
+        # neighbors of its cell
+        order = np.argsort(nb_o, kind="stable")
+        nb_o = nb_o[order]
+        nb_c = nb_c[order]
+        counts = np.bincount(nb_o, minlength=len(uniq_cells))
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        reps = counts[inv]
+        exp_owner = np.repeat(f_owner, reps)
+        idx = np.concatenate(
+            [np.arange(starts[i], starts[i + 1]) for i in inv]
+        ) if len(inv) else np.array([], dtype=np.int64)
+        exp_cells = nb_c[idx]
+        new_pairs = np.stack([exp_owner.astype(np.uint64), exp_cells], axis=1)
+        merged = np.unique(np.concatenate([pairs_all, new_pairs]), axis=0)
+        # frontier = pairs in merged not in pairs_all
+        frontier = _setdiff_pairs(merged, pairs_all)
+        pairs_all = merged
+        if len(frontier) == 0:
+            break
+    return pairs_all[:, 0].astype(np.int64), pairs_all[:, 1]
+
+
+def _setdiff_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rows of a (sorted unique (M,2)) not present in b (sorted unique)."""
+    if len(b) == 0:
+        return a
+    av = a[:, 0] * np.uint64(0) + a[:, 0]  # no-op; keep dtype
+    # encode rows as structured void for fast membership
+    a_view = a.view([("o", np.uint64), ("c", np.uint64)]).reshape(-1)
+    b_view = b.view([("o", np.uint64), ("c", np.uint64)]).reshape(-1)
+    mask = ~np.isin(a_view, b_view)
+    return a[mask]
+
+
+def grid_ring_grouped(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hollow ring at exactly distance k: disk(k) minus disk(k-1)."""
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    if k == 0:
+        return np.arange(len(cells), dtype=np.int64), cells.copy()
+    o_k, c_k = grid_disk_grouped(cells, k)
+    o_k1, c_k1 = grid_disk_grouped(cells, k - 1)
+    pairs_k = np.stack([o_k.astype(np.uint64), c_k], axis=1)
+    pairs_k1 = np.stack([o_k1.astype(np.uint64), c_k1], axis=1)
+    ring = _setdiff_pairs(pairs_k, pairs_k1)
+    return ring[:, 0].astype(np.int64), ring[:, 1]
+
+
+def grid_disk(cell, k: int) -> np.ndarray:
+    _, c = grid_disk_grouped(np.array([cell], dtype=np.uint64), k)
+    return c
+
+
+def grid_ring(cell, k: int) -> np.ndarray:
+    _, c = grid_ring_grouped(np.array([cell], dtype=np.uint64), k)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# grid path (for linetrace)
+# ---------------------------------------------------------------------------
+
+
+def grid_path(a: int, b: int) -> np.ndarray:
+    """Cell path from a to b (inclusive), matching the public H3
+    grid_path_cells semantics: straight-line interpolation in the local
+    hex lattice, one cell per grid step.
+
+    Local coordinates are obtained by projecting both endpoints onto cell
+    a's icosahedron face plane; for paths spanning faces the gnomonic
+    extension keeps lattice alignment near the shared edge (paths are
+    per-segment short in linetrace usage).
+    """
+    a = np.uint64(a)
+    b = np.uint64(b)
+    if a == b:
+        return np.array([a], dtype=np.uint64)
+    res = int(ix.get_resolution(np.array([a]))[0])
+    # canonical local frame: the home face of the origin's base cell
+    from .constants import BASE_CELL_DATA
+
+    bc_a = int(ix.get_base_cell(np.array([a], dtype=np.uint64))[0])
+    f = BASE_CELL_DATA[bc_a, 0]
+    lat, lng = geo.cell_to_latlng(np.array([a, b], dtype=np.uint64))
+    pts = proj.geo_to_hex2d_on_face(
+        np.radians(lat), np.radians(lng), np.full(2, f), res
+    )
+    ijk2 = IJK.hex2d_to_ijk(pts)
+    cube = IJK.ijk_to_cube(ijk2).astype(np.float64)
+    n = int(IJK.ijk_distance(ijk2[0], ijk2[1]))
+    if n == 0:
+        return np.array([a, b], dtype=np.uint64)
+    t = np.linspace(0.0, 1.0, n + 1)[:, None]
+    interp = cube[0][None, :] * (1 - t) + cube[1][None, :] * t
+    cells_ijk = IJK.cube_to_ijk(IJK.cube_round(interp))
+    # snap each lattice point back through geo to get exact cell ids
+    xy = IJK.ijk_to_hex2d(cells_ijk)
+    plat, plng = proj.hex2d_to_geo(xy, np.full(len(xy), f), res, substrate=False)
+    out = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res)
+    out[0] = a
+    out[-1] = b
+    # sequential dedup (snapping may repeat a cell)
+    keep = np.ones(len(out), dtype=bool)
+    keep[1:] = out[1:] != out[:-1]
+    return out[keep]

@@ -1,0 +1,167 @@
+"""Traversal + polygon kernel goldens (reference tests/test_h3pandas.py:
+214-306,471-601; tests/util/test_shapely.py:39-78)."""
+
+import numpy as np
+
+from sparkh3.kernel import geo
+from sparkh3.kernel import index as ix
+from sparkh3.kernel import polygon as pg
+from sparkh3.kernel import traversal as tv
+
+INDEXED = ["891e3097383ffff", "891e2659c2fffff"]
+K1_SETS = [
+    {
+        "891e3097383ffff",
+        "891e3097387ffff",
+        "891e309738bffff",
+        "891e309738fffff",
+        "891e3097393ffff",
+        "891e3097397ffff",
+        "891e309739bffff",
+    },
+    {
+        "891e2659893ffff",
+        "891e2659897ffff",
+        "891e2659c23ffff",
+        "891e2659c27ffff",
+        "891e2659c2bffff",
+        "891e2659c2fffff",
+        "891e2659d5bffff",
+    },
+]
+
+
+def box(x0, y0, x1, y1):
+    return np.array(
+        [(y0, x0), (y0, x1), (y1, x1), (y1, x0), (y0, x0)], dtype=float
+    )
+
+
+class TestKRing:
+    def test_k_ring_goldens(self):
+        cells = ix.str_to_int(INDEXED)
+        o, c = tv.grid_disk_grouped(cells, 1)
+        assert set(ix.int_to_str(c[o == 0])) == K1_SETS[0]
+        assert set(ix.int_to_str(c[o == 1])) == K1_SETS[1]
+
+    def test_k0_identity(self):
+        cells = ix.str_to_int(INDEXED)
+        o, c = tv.grid_disk_grouped(cells, 0)
+        assert np.array_equal(c, cells)
+
+    def test_disk_sizes(self):
+        cells = ix.str_to_int(INDEXED)
+        for k in (1, 2, 3):
+            o, c = tv.grid_disk_grouped(cells, k)
+            assert (o == 0).sum() == 1 + 3 * k * (k + 1)
+
+    def test_hex_ring_goldens(self):
+        cells = ix.str_to_int(INDEXED)
+        o, c = tv.grid_ring_grouped(cells, 1)
+        assert set(ix.int_to_str(c[o == 0])) == K1_SETS[0] - {INDEXED[0]}
+        assert set(ix.int_to_str(c[o == 1])) == K1_SETS[1] - {INDEXED[1]}
+        for k in (1, 2, 3):
+            o, c = tv.grid_ring_grouped(cells, k)
+            assert (o == 0).sum() == 6 * k
+
+    def test_pentagon_disk(self):
+        pent = ix.build_cell(
+            np.array([4], dtype=np.uint64),
+            1,
+            np.hstack([np.zeros((1, 1)), np.full((1, 14), 7)]).astype(np.int64),
+        )
+        o, c = tv.grid_disk_grouped(pent, 1)
+        assert len(c) == 6  # pentagon has 5 neighbors + itself
+
+
+class TestGridPath:
+    def test_nz_linetrace_path(self):
+        a = geo.latlng_to_cell([-37.005372], [174.793092], 3)[0]
+        b = geo.latlng_to_cell([-40.323142], [175.621138], 3)[0]
+        got = list(ix.int_to_str(tv.grid_path(int(a), int(b))))
+        assert got == [
+            "83bb50fffffffff",
+            "83bb54fffffffff",
+            "83bb72fffffffff",
+            "83bb0dfffffffff",
+            "83bb2bfffffffff",
+        ]
+
+    def test_path_endpoints_and_connectivity(self):
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            lat = rng.uniform(-60, 60, 2)
+            lng = rng.uniform(-170, 170, 2)
+            lat[1] = lat[0] + rng.uniform(-2, 2)
+            lng[1] = lng[0] + rng.uniform(-2, 2)
+            cells = geo.latlng_to_cell(lat, lng, 5)
+            p = tv.grid_path(int(cells[0]), int(cells[1]))
+            assert p[0] == cells[0] and p[-1] == cells[1]
+            # consecutive cells are neighbors
+            for x, y in zip(p[:-1], p[1:]):
+                assert y in set(tv.neighbors(x).tolist())
+
+
+class TestPolygonToCells:
+    def test_small_polygon_res1(self):
+        got = set(ix.int_to_str(pg.polygon_to_cells([box(18, 48, 19, 49)], 1)))
+        assert got == {"811e3ffffffffff"}
+
+    def test_multipolygon_union(self):
+        got = set(
+            ix.int_to_str(
+                pg.multipolygon_to_cells(
+                    [[box(18, 48, 19, 49)], [box(11, 54, 12, 56)]], 1
+                )
+            )
+        )
+        assert got == {"811e3ffffffffff", "811f3ffffffffff"}
+
+    def test_hole_subtracts(self):
+        got = pg.polygon_to_cells(
+            [box(18, 48, 19, 49), box(18.2, 48.4, 18.6, 48.8)], 1
+        )
+        assert len(got) == 0
+
+    def test_boxes_res3_explode_count(self):
+        r1 = pg.polygon_to_cells([box(0, 0, 1, 1)], 3)
+        r2 = pg.polygon_to_cells([box(0, 0, 2, 2)], 3)
+        assert len(r1) + len(r2) == 5
+        expected = {
+            "83754efffffffff",
+            "83756afffffffff",
+            "837541fffffffff",
+            "83754cfffffffff",
+        }
+        assert set(ix.int_to_str(r1)) | set(ix.int_to_str(r2)) == expected
+
+    def test_hex_boundary_sevens(self):
+        for cell, exp in [
+            (
+                "891f1d48177ffff",
+                {
+                    "8a1f1d481747fff",
+                    "8a1f1d48174ffff",
+                    "8a1f1d481757fff",
+                    "8a1f1d48175ffff",
+                    "8a1f1d481767fff",
+                    "8a1f1d48176ffff",
+                    "8a1f1d481777fff",
+                },
+            ),
+            (
+                "891f1d48167ffff",
+                {
+                    "8a1f1d481647fff",
+                    "8a1f1d48164ffff",
+                    "8a1f1d481657fff",
+                    "8a1f1d48165ffff",
+                    "8a1f1d481667fff",
+                    "8a1f1d48166ffff",
+                    "8a1f1d481677fff",
+                },
+            ),
+        ]:
+            b = geo.cell_to_boundary(ix.str_to_int([cell]))[0]
+            assert set(ix.int_to_str(pg.polygon_to_cells([b], 10))) == exp
+            assert len(pg.polygon_to_cells([b], 1)) == 0  # empty at res 1
