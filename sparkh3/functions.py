@@ -1,0 +1,410 @@
+"""Spark column-level H3 functions.
+
+Two tiers, chosen per the SURVEY §4 optimization table:
+
+* **Native bit-math expressions** (resolution, base cell, parent, center
+  child, prefix bucketing): pure Catalyst ``Column`` algebra over int64 —
+  run inside WholeStageCodegen on the JVM, no Python in the hot path.
+* **Arrow-vectorized pandas UDFs** for the geometric kernels
+  (latlng_to_cell, centroids, boundaries, rings, polyfill, linetrace):
+  batched NumPy, one Python crossing per ~10k-row Arrow batch (the
+  reference crosses per row: reference h3pandas.py:94-96).
+
+H3 addresses travel as 15-char lowercase hex strings (parity with the
+reference), with ``h3_str_to_int``/``h3_int_to_str`` for the int64 fast
+path used by joins, rollups and storage clustering.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# native (JVM / codegen) bit-math tier
+# ---------------------------------------------------------------------------
+
+
+def h3_str_to_int(col: Column | str) -> Column:
+    """Hex-string H3 address -> int64 (native, codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(c, 16, 10).cast(LongType())
+
+
+def h3_int_to_str(col: Column | str) -> Column:
+    """int64 -> lowercase 15-char hex H3 address (native)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.hex(c))
+
+
+def h3_resolution_int(v: Column) -> Column:
+    return F.shiftrightunsigned(v, 52).bitwiseAND(F.lit(15)).cast(IntegerType())
+
+
+def h3_resolution(col: Column | str) -> Column:
+    return h3_resolution_int(h3_str_to_int(col))
+
+
+def h3_base_cell_int(v: Column) -> Column:
+    return F.shiftrightunsigned(v, 45).bitwiseAND(F.lit(127)).cast(IntegerType())
+
+
+def h3_base_cell(col: Column | str) -> Column:
+    return h3_base_cell_int(h3_str_to_int(col))
+
+
+def h3_parent_int(v: Column, res: int) -> Column:
+    """Parent at `res` — pure bit math, no UDF (SURVEY §2.2 op 9)."""
+    fill = (1 << (3 * (15 - res))) - 1
+    return (
+        v.bitwiseAND(F.lit(~(15 << 52)))
+        .bitwiseOR(F.lit(res << 52))
+        .bitwiseOR(F.lit(fill))
+    )
+
+
+def h3_parent(col: Column | str, res: int) -> Column:
+    return h3_int_to_str(h3_parent_int(h3_str_to_int(col), res))
+
+
+def h3_center_child_int(v: Column, res: int) -> Column:
+    """Center child at `res` (current res taken from the value) — native.
+
+    Clears digits between the current res and `res`, then sets res bits.
+    """
+    cur_res = F.shiftrightunsigned(v, 52).bitwiseAND(F.lit(15))
+    # bits currently filled with 7s: 3*(15-cur_res) low bits
+    clear_mask = F.expr(
+        f"shiftleft(1L, cast(3 * (15 - (shiftrightunsigned({_sql(v)}, 52) & 15)) as int)) - 1"
+    )
+    keep_fill = F.lit((1 << (3 * (15 - res))) - 1)
+    return (
+        v.bitwiseAND(~clear_mask)
+        .bitwiseAND(F.lit(~(15 << 52)))
+        .bitwiseOR(F.lit(res << 52))
+        .bitwiseOR(keep_fill)
+    )
+
+
+def _sql(c: Column) -> str:
+    """Render a Column back to SQL text (for expr composition)."""
+    return c._jc.toString()  # noqa: SLF001
+
+
+def h3_center_child(col: Column | str, res: int) -> Column:
+    return h3_int_to_str(h3_center_child_int(h3_str_to_int(col), res))
+
+
+def h3_prefix_bucket(v: Column, bits: int = 12) -> Column:
+    """Leading `bits` of base-cell+digit bits — a spatial-locality bucket
+    for partitioning/clustering (int64 prefix order ~ spatial order)."""
+    return F.shiftrightunsigned(v, 52 - bits).bitwiseAND(F.lit((1 << bits) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized kernel tier (pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def _np_str_cells(s: pd.Series):
+    """pd.Series of hex strings -> (uint64 array, null mask)."""
+    import numpy as np
+
+    from .kernel import index as ix
+
+    vals = s.to_numpy(dtype=object)
+    null = pd.isna(vals)
+    safe = np.where(null, "0", vals)
+    return ix.str_to_int(safe), null
+
+
+def _validate_cells(cells, null, ctx: str):
+    """Raise ValueError on invalid addresses (reference parity:
+    util/decorator.py:5-33 maps bad addresses to ValueError)."""
+    import numpy as np
+
+    from .kernel import index as ix
+
+    bad = ~ix.is_valid_cell(cells) & ~null
+    if np.any(bad):
+        first = ix.int_to_str(cells[bad])[0]
+        raise ValueError(f"{ctx}: invalid H3 address (e.g. {first!r})")
+
+
+def latlng_to_cell_udf(res: int):
+    @F.pandas_udf(StringType())
+    def f(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import geo
+        from .kernel import index as ix
+
+        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lng.to_numpy(dtype=np.float64, na_value=np.nan)
+        null = np.isnan(la) | np.isnan(lo)
+        cells = geo.latlng_to_cell(np.where(null, 0.0, la), np.where(null, 0.0, lo), res)
+        out = ix.int_to_str(cells)
+        out[null] = None
+        return pd.Series(out)
+
+    return f
+
+
+_LATLNG_STRUCT = StructType(
+    [StructField("lat", DoubleType()), StructField("lng", DoubleType())]
+)
+
+
+def cell_to_latlng_udf():
+    @F.pandas_udf(_LATLNG_STRUCT)
+    def f(cell: pd.Series) -> pd.DataFrame:
+        from .kernel import geo
+
+        cells, null = _np_str_cells(cell)
+        _validate_cells(cells, null, "h3_to_geo")
+        lat, lng = geo.cell_to_latlng(cells)
+        df = pd.DataFrame({"lat": lat, "lng": lng})
+        df.loc[null, :] = None
+        return df
+
+    return f
+
+
+_RING_TYPE = ArrayType(
+    StructType([StructField("lng", DoubleType()), StructField("lat", DoubleType())])
+)
+
+
+def cell_to_boundary_udf():
+    @F.pandas_udf(_RING_TYPE)
+    def f(cell: pd.Series) -> pd.Series:
+        from .kernel import geo
+
+        cells, null = _np_str_cells(cell)
+        _validate_cells(cells, null, "h3_to_geo_boundary")
+        rings = geo.cell_to_boundary(cells)
+        out = []
+        for i, ring in enumerate(rings):
+            if null[i]:
+                out.append(None)
+                continue
+            pts = [(float(p[1]), float(p[0])) for p in ring]
+            pts.append(pts[0])  # closed ring (golden rings are closed)
+            out.append(pts)
+        return pd.Series(out)
+
+    return f
+
+
+def cell_area_udf(unit: str = "km^2"):
+    @F.pandas_udf(DoubleType())
+    def f(cell: pd.Series) -> pd.Series:
+        from .kernel import geo
+
+        cells, null = _np_str_cells(cell)
+        _validate_cells(cells, null, "cell_area")
+        area = geo.cell_area(cells, unit)
+        s = pd.Series(area)
+        s[null] = None
+        return s
+
+    return f
+
+
+def is_valid_udf():
+    @F.pandas_udf(BooleanType())
+    def f(cell: pd.Series) -> pd.Series:
+        from .kernel import index as ix
+
+        cells, null = _np_str_cells(cell)
+        ok = ix.is_valid_cell(cells) & ~null
+        return pd.Series(ok)
+
+    return f
+
+
+def _grouped_to_lists(owner, cells, n):
+    """(owner, cell) pairs (owner-sorted) -> list of string lists."""
+    import numpy as np
+
+    from .kernel import index as ix
+
+    strs = ix.int_to_str(cells)
+    counts = np.bincount(owner, minlength=n)
+    bounds = np.cumsum(counts)[:-1]
+    return [list(x) for x in np.split(strs, bounds)]
+
+
+def _ring_udf(k: int, ring_only: bool):
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(cell: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import index as ix
+        from .kernel import traversal as tv
+
+        cells, null = _np_str_cells(cell)
+        ctx = "hex_ring" if ring_only else "k_ring"
+        _validate_cells(cells, null, ctx)
+        n = len(cells)
+        out: list = [None] * n
+        # group by resolution (traversal requires uniform res)
+        res = ix.get_resolution(cells)
+        for r in np.unique(res[~null]) if null.any() else np.unique(res):
+            sel = np.where((res == r) & ~null)[0]
+            fn = tv.grid_ring_grouped if ring_only else tv.grid_disk_grouped
+            o, c = fn(cells[sel], k)
+            lists = _grouped_to_lists(o, c, len(sel))
+            for li, gi in enumerate(sel):
+                out[gi] = lists[li]
+        return pd.Series(out)
+
+    return f
+
+
+def k_ring_udf(k: int):
+    return _ring_udf(k, ring_only=False)
+
+
+def hex_ring_udf(k: int):
+    return _ring_udf(k, ring_only=True)
+
+
+def _rings_from_raw(raw) -> list:
+    """Arrow nested value -> list of (M,2) lat,lng arrays."""
+    import numpy as np
+
+    rings = []
+    for ring in raw:
+        pts = np.array([(p["lat"], p["lng"]) for p in ring], dtype=np.float64)
+        rings.append(pts)
+    return rings
+
+
+def polyfill_udf(res: int):
+    """Polygon column array<array<struct<lng,lat>>> -> array<string> cells
+    whose centroid is inside (ring 0 shell, rings 1.. holes)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(poly: pd.Series) -> pd.Series:
+        from .kernel import index as ix
+        from .kernel import polygon as pg
+
+        out = []
+        for raw in poly:
+            if raw is None or len(raw) == 0:
+                out.append([])
+                continue
+            rings = _rings_from_raw(raw)
+            cells = pg.polygon_to_cells(rings, res)
+            out.append(list(ix.int_to_str(cells)) if len(cells) else [])
+        return pd.Series(out)
+
+    return f
+
+
+def multipolyfill_udf(res: int):
+    """MultiPolygon column array<array<array<struct<lng,lat>>>> -> cells."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(poly: pd.Series) -> pd.Series:
+        from .kernel import index as ix
+        from .kernel import polygon as pg
+
+        out = []
+        for raw in poly:
+            if raw is None or len(raw) == 0:
+                out.append([])
+                continue
+            polys = [_rings_from_raw(p) for p in raw]
+            cells = pg.multipolygon_to_cells(polys, res)
+            out.append(list(ix.int_to_str(cells)) if len(cells) else [])
+        return pd.Series(out)
+
+    return f
+
+
+def linetrace_udf(res: int):
+    """(Multi)LineString column array<array<struct<lng,lat>>> ->
+    array<string>: cells along the line, sequentially deduplicated
+    across segments and parts (reference h3pandas.py:760-804 +
+    util/decorator.py:36-58)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(line: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import geo
+        from .kernel import index as ix
+        from .kernel import traversal as tv
+
+        out = []
+        for raw in line:
+            if raw is None:
+                out.append([])
+                continue
+            seq: list[str] = []
+            for part in raw:
+                pts = np.array(
+                    [(p["lat"], p["lng"]) for p in part], dtype=np.float64
+                )
+                if len(pts) < 2:
+                    continue
+                cells = geo.latlng_to_cell(pts[:, 0], pts[:, 1], res)
+                for i in range(len(cells) - 1):
+                    path = tv.grid_path(int(cells[i]), int(cells[i + 1]))
+                    seq.extend(ix.int_to_str(path))
+            # sequential dedup (repeats allowed non-sequentially)
+            deduped: list[str] = []
+            for s in seq:
+                if not deduped or deduped[-1] != s:
+                    deduped.append(s)
+            out.append(deduped)
+        return pd.Series(out)
+
+    return f
+
+
+def compact_udf():
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(cells: pd.Series) -> pd.Series:
+        from .kernel import index as ix
+
+        out = []
+        for raw in cells:
+            if raw is None or len(raw) == 0:
+                out.append([])
+                continue
+            arr = ix.str_to_int(list(raw))
+            out.append(list(ix.int_to_str(ix.compact_cells(arr))))
+        return pd.Series(out)
+
+    return f
+
+
+def uncompact_udf(res: int):
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(cells: pd.Series) -> pd.Series:
+        from .kernel import index as ix
+
+        out = []
+        for raw in cells:
+            if raw is None or len(raw) == 0:
+                out.append([])
+                continue
+            arr = ix.str_to_int(list(raw))
+            out.append(list(ix.int_to_str(ix.uncompact_cells(arr, res))))
+        return pd.Series(out)
+
+    return f
