@@ -101,6 +101,17 @@ _EDGE_DEG_RES0 = 20.0
 def polygon_to_cells(rings: Rings, res: int) -> np.ndarray:
     """Cells at `res` whose center falls inside the polygon (first ring =
     shell, remaining rings = holes, even-odd)."""
+    return _polygon_cells_impl(rings, res, cover=False)
+
+
+def polygon_cover_cells(rings: Rings, res: int) -> np.ndarray:
+    """Superset cover: every cell that intersects the polygon (center
+    inside OR boundary-crossing band). Candidate set for exact PIP joins —
+    no point inside the polygon can fall outside these cells."""
+    return _polygon_cells_impl(rings, res, cover=True)
+
+
+def _polygon_cells_impl(rings: Rings, res: int, cover: bool) -> np.ndarray:
     rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3]
     if not rings:
         return np.array([], dtype=np.uint64)
@@ -127,6 +138,8 @@ def polygon_to_cells(rings: Rings, res: int) -> np.ndarray:
         new_inside = nb[keep]
         result.update(new_inside.tolist())
         frontier = new_inside
+    if cover:
+        result.update(band.tolist())
     return np.array(sorted(result), dtype=np.uint64)
 
 
@@ -135,6 +148,15 @@ def multipolygon_to_cells(polys: list[Rings], res: int) -> np.ndarray:
     out: list[np.ndarray] = []
     for rings in polys:
         out.append(polygon_to_cells(rings, res))
+    if not out:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(out))
+
+
+def multipolygon_cover_cells(polys: list[Rings], res: int) -> np.ndarray:
+    out: list[np.ndarray] = []
+    for rings in polys:
+        out.append(polygon_cover_cells(rings, res))
     if not out:
         return np.array([], dtype=np.uint64)
     return np.unique(np.concatenate(out))

@@ -1,0 +1,195 @@
+"""Spatial joins (north-rule ops, SURVEY §2.3/§2.4).
+
+* ``pip_join``: exact point-in-polygon join. H3 polyfill **cover** cells
+  (centroid-inside ∪ boundary band — a lossless candidate superset) are
+  exploded on the polygon side and equi-joined against the points' cells,
+  then refined with an exact even-odd ray cast. The H3 stage only prunes;
+  the refinement restores exact PIP semantics, so results match a naive
+  theta-join while shuffling only co-located cells. Small polygon sides
+  are broadcast (no shuffle of the points at all).
+
+* ``knn_join``: exact k-nearest-neighbors via iterative k_ring expansion:
+  candidates = points within grid-ring r of each query cell, r doubling
+  until every query has k neighbors with a safety margin that guarantees
+  no closer point can exist outside the ring; final exact haversine
+  top-k via a window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import functions as H3F
+
+EARTH_RADIUS_KM = 6371.007180918475
+
+
+def haversine_km(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """Great-circle distance — native Column algebra (JVM codegen)."""
+    rl1 = F.radians(lat1)
+    rl2 = F.radians(lat2)
+    dlat = rl2 - rl1
+    dlng = F.radians(lng2) - F.radians(lng1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlng / 2) * F.sin(dlng / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def _avg_hex_area_km2(res: int) -> float:
+    n_cells = 2 + 120 * 7**res
+    return 4.0 * math.pi * EARTH_RADIUS_KM**2 / n_cells
+
+
+def min_cell_width_km(res: int) -> float:
+    """Conservative lower bound on cell width at `res` (min hex area is
+    ~0.45x the mean near icosahedron vertices)."""
+    inr = math.sqrt(0.45 * _avg_hex_area_km2(res) / (2.0 * math.sqrt(3.0)))
+    return 2.0 * inr
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    resolution: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    geometry_col: str = "geometry",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Exact point-in-polygon join. Returns points columns + all polygon
+    columns except its geometry."""
+    from . import udfs
+
+    cover = udfs.polyfill_cover_udf(resolution)
+    poly_cells = polygons.withColumn("_cells", cover(F.col(geometry_col)))
+    poly_cells = poly_cells.withColumn("_cell", F.explode("_cells")).drop("_cells")
+    if broadcast:
+        poly_cells = F.broadcast(poly_cells)
+    pts = points.withColumn(
+        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
+    )
+    cand = pts.join(poly_cells, "_cell", "inner")
+    refined = cand.filter(
+        udfs.point_in_polygon_udf()(
+            F.col(lat_col), F.col(lng_col), F.col(geometry_col)
+        )
+    )
+    return refined.drop("_cell", geometry_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    resolution: int,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    q_lat: str = "lat",
+    q_lng: str = "lng",
+    p_lat: str = "lat",
+    p_lng: str = "lng",
+) -> DataFrame:
+    """Exact kNN join. Output: (query_id, point_id, dist_km, rank).
+
+    Ring expansion at `resolution`; queries still unsatisfied escalate to
+    coarser resolutions (cells ~18x wider per step), and any final
+    stragglers fall back to a brute-force cross join — so results are
+    exact for every density regime while dense regions never scan beyond
+    a few rings. Deterministic tie-break: (dist_km, point_id) ascending.
+    """
+    from . import udfs
+
+    cell = H3F.latlng_to_cell_udf(resolution)
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(p_lat).alias("_plat"),
+        F.col(p_lng).alias("_plng"),
+    ).withColumn("_cell0", cell(F.col("_plat"), F.col("_plng")))
+    q_all = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(q_lat).alias("_qlat"),
+        F.col(q_lng).alias("_qlng"),
+    ).withColumn("_qcell0", cell(F.col("_qlat"), F.col("_qlng")))
+    q_all = q_all.persist()
+    pts = pts.persist()
+    q_all.count()
+    pts.count()
+
+    def topk_of(cand: DataFrame) -> DataFrame:
+        cand = cand.withColumn(
+            "_dist",
+            haversine_km(
+                F.col("_qlat"), F.col("_qlng"), F.col("_plat"), F.col("_plng")
+            ),
+        )
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("_dist").asc(), F.col("_pid").asc()
+        )
+        return cand.withColumn("_rank", F.row_number().over(w)).filter(
+            F.col("_rank") <= k
+        )
+
+    remaining = q_all
+    done_parts: list[DataFrame] = []
+    res_cur = resolution
+    while True:
+        if remaining.limit(1).count() == 0:
+            break
+        if res_cur <= 0:
+            # brute force the stragglers (few by construction)
+            cand = remaining.crossJoin(pts)
+            done_parts.append(topk_of(cand).drop("_cell0", "_qcell0"))
+            break
+        w_min = min_cell_width_km(res_cur)
+        qc = (
+            F.col("_qcell0")
+            if res_cur == resolution
+            else H3F.h3_parent("_qcell0", res_cur)
+        )
+        pc = (
+            F.col("_cell0")
+            if res_cur == resolution
+            else H3F.h3_parent("_cell0", res_cur)
+        )
+        rem = remaining.withColumn("_qcell", qc)
+        pts_r = pts.withColumn("_cell", pc)
+        solved_here = False
+        for r in (2, 8):
+            ring = udfs.k_ring_udf_int(r)
+            cand = rem.withColumn("_cell", F.explode(ring(F.col("_qcell"))))
+            cand = cand.join(pts_r, "_cell", "inner")
+            topk = topk_of(cand)
+            per_q = topk.groupBy("_qid").agg(
+                F.count("*").alias("_n"), F.max("_dist").alias("_kth")
+            )
+            # any point outside ring r is at haversine >= (r-1)*w_min
+            safe_q = per_q.filter(
+                (F.col("_n") >= k)
+                & (F.col("_kth") <= F.lit(max(r - 1, 1) * w_min))
+            ).select("_qid")
+            done = topk.join(F.broadcast(safe_q), "_qid", "inner")
+            done_parts.append(
+                done.drop("_cell", "_cell0", "_qcell", "_qcell0")
+            )
+            remaining = remaining.join(F.broadcast(safe_q), "_qid", "left_anti")
+            rem = rem.join(F.broadcast(safe_q), "_qid", "left_anti")
+            if remaining.limit(1).count() == 0:
+                solved_here = True
+                break
+        if solved_here:
+            break
+        res_cur -= 3
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("_qid").alias(query_id),
+        F.col("_pid").alias(point_id),
+        F.col("_dist").alias("dist_km"),
+        F.col("_rank").alias("rank"),
+    )

@@ -1,0 +1,87 @@
+"""Operator-support pandas UDFs (Arrow-vectorized)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, StringType
+
+
+def polyfill_cover_udf(res: int):
+    """Polygon -> lossless candidate cell cover (centroid-inside +
+    boundary band) for PIP pre-joins."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(poly: pd.Series) -> pd.Series:
+        from ..functions import _rings_from_raw
+        from ..kernel import index as ix
+        from ..kernel import polygon as pg
+
+        out = []
+        for raw in poly:
+            if raw is None or len(raw) == 0:
+                out.append([])
+                continue
+            rings = _rings_from_raw(raw)
+            cells = pg.polygon_cover_cells(rings, res)
+            out.append(list(ix.int_to_str(cells)) if len(cells) else [])
+        return pd.Series(out)
+
+    return f
+
+
+def point_in_polygon_udf():
+    """(lat, lng, polygon rings) -> bool, exact even-odd ray cast.
+
+    Rows sharing a polygon within the Arrow batch are grouped so the ray
+    cast runs vectorized per polygon.
+    """
+
+    @F.pandas_udf(BooleanType())
+    def f(lat: pd.Series, lng: pd.Series, poly: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions import _rings_from_raw
+        from ..kernel import polygon as pg
+
+        n = len(lat)
+        out = np.zeros(n, dtype=bool)
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lng.to_numpy(dtype=np.float64)
+        # group rows by polygon identity (repr of first ring head is a
+        # cheap stable key; collisions only cost a second pass)
+        groups: dict = {}
+        for i, raw in enumerate(poly):
+            if raw is None or len(raw) == 0:
+                continue
+            key = id(raw) if not isinstance(raw, (list, tuple)) else None
+            if key is None:
+                p0 = raw[0][0]
+                key = (len(raw), len(raw[0]), p0["lat"], p0["lng"])
+            groups.setdefault(key, (raw, []))[1].append(i)
+        for raw, idxs in groups.values():
+            rings = _rings_from_raw(raw)
+            ii = np.array(idxs, dtype=np.int64)
+            out[ii] = pg.points_in_rings(la[ii], lo[ii], rings)
+        return pd.Series(out)
+
+    return f
+
+
+def k_ring_udf_int(k: int):
+    """cell -> array<string> disk; assumes valid uniform-res inputs
+    (internal: kNN expansion)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def f(cell: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions import _grouped_to_lists, _np_str_cells
+        from ..kernel import traversal as tv
+
+        cells, null = _np_str_cells(cell)
+        o, c = tv.grid_disk_grouped(cells, k)
+        lists = _grouped_to_lists(o, c, len(cells))
+        return pd.Series([None if null[i] else lists[i] for i in range(len(cells))])
+
+    return f

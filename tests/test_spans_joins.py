@@ -1,0 +1,147 @@
+"""Interleaved-documents synthesis (Spark vs DuckDB bit parity),
+span invariants, and spatial joins (PIP + kNN) vs brute-force truth."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkh3 import datagen
+from sparkh3.operators import joins, spans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestDatagenParity:
+    def test_spark_duckdb_identical(self, spark):
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        srows = sdf.orderBy("doc_id").collect()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        drows = con.sql(
+            datagen.interleaved_documents_sql() + " ORDER BY doc_id"
+        ).fetchall()
+        assert len(srows) == len(drows) == 500
+        for s, d in zip(srows, drows):
+            assert s.doc_id == d[0]
+            d_spans = [
+                (x["kind"], x["text"], x["media_ref"], x["offset"]) for x in d[1]
+            ]
+            s_spans = [(x.kind, x.text, x.media_ref, x.offset) for x in s.spans]
+            assert s_spans == d_spans, s.doc_id
+
+    def test_offsets_increasing_and_skew(self, spark):
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        bad = sdf.filter(
+            F.exists(
+                F.expr(
+                    "zip_with(slice(spans, 1, size(spans)-1), "
+                    "slice(spans, 2, size(spans)-1), (a, b) -> b.offset <= a.offset)"
+                ),
+                lambda x: x,
+            )
+        ).count()
+        assert bad == 0
+        # hot hubs: ~70% of docs within 2 degrees of a hub
+        geo = spans.extract_geometry(sdf)
+        n = geo.count()
+        hot = geo.filter(F.abs(F.col("lat") - 40.75) < 2.0).count()
+        assert hot > 0.02 * n  # NYC hub alone holds ~ 1/12 of the 70%
+
+
+class TestSpanInvariant:
+    def test_pipeline_preserves_spans(self, spark):
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        before = sdf.select("doc_id", spans.span_fingerprint().alias("fp"))
+        # a realistic pipeline: extract geometry, stats, filter, re-select
+        out = spans.span_stats(spans.extract_geometry(sdf))
+        out = out.filter(F.col("n_spans") >= 2)
+        after = out.select("doc_id", spans.span_fingerprint().alias("fp"))
+        joined = before.join(after, "doc_id", "inner")
+        assert joined.filter(F.col("before.fp") != F.col("after.fp")).count() == 0 if False else True
+        diff = (
+            before.alias("b")
+            .join(after.alias("a"), "doc_id")
+            .filter(F.col("b.fp") != F.col("a.fp"))
+            .count()
+        )
+        assert diff == 0
+        assert after.count() == before.count()
+
+
+class TestPipJoin:
+    def test_pip_join_matches_rect_truth(self, spark):
+        # points: synthesized from documents; polygons: lat/lng rectangles
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(sdf).select("doc_id", "lat", "lng")
+        rects = [
+            ("nyc", 39.0, 42.0, -75.5, -72.0),
+            ("eu", 45.0, 56.0, -3.0, 15.0),
+            ("empty", -89.0, -88.0, 10.0, 11.0),
+        ]
+        poly_rows = []
+        for pid, y0, y1, x0, x1 in rects:
+            ring = [
+                {"lng": x0, "lat": y0},
+                {"lng": x1, "lat": y0},
+                {"lng": x1, "lat": y1},
+                {"lng": x0, "lat": y1},
+                {"lng": x0, "lat": y0},
+            ]
+            poly_rows.append(Row(poly_id=pid, geometry=[ring]))
+        polys = spark.createDataFrame(poly_rows)
+        got = joins.pip_join(pts, polys, resolution=5)
+        got_set = {(r.doc_id, r.poly_id) for r in got.collect()}
+        truth = set()
+        for r in pts.collect():
+            for pid, y0, y1, x0, x1 in rects:
+                if y0 < r.lat < y1 and x0 < r.lng < x1:
+                    truth.add((r.doc_id, pid))
+        assert got_set == truth
+        assert len(got_set) > 0
+
+
+class TestKnnJoin:
+    def test_knn_matches_bruteforce(self, spark):
+        import math
+
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(sdf).select(
+            F.col("doc_id").alias("point_id"), "lat", "lng"
+        )
+        queries = spark.createDataFrame(
+            [
+                Row(query_id=1, lat=40.75, lng=-73.99),
+                Row(query_id=2, lat=51.5, lng=-0.1),
+                Row(query_id=3, lat=0.0, lng=0.0),
+            ]
+        )
+        k = 5
+        got = joins.knn_join(queries, pts, k=k, resolution=5)
+        got_rows = {
+            (r.query_id, r.rank): r.point_id for r in got.collect()
+        }
+
+        def hav(la1, lo1, la2, lo2):
+            rl1, rl2 = math.radians(la1), math.radians(la2)
+            dlat = rl2 - rl1
+            dlng = math.radians(lo2) - math.radians(lo1)
+            a = (
+                math.sin(dlat / 2) ** 2
+                + math.cos(rl1) * math.cos(rl2) * math.sin(dlng / 2) ** 2
+            )
+            return 2 * 6371.007180918475 * math.asin(math.sqrt(a))
+
+        pts_local = pts.collect()
+        for q in queries.collect():
+            ranked = sorted(
+                pts_local,
+                key=lambda p: (hav(q.lat, q.lng, p.lat, p.lng), p.point_id),
+            )[:k]
+            for i, p in enumerate(ranked, start=1):
+                assert got_rows[(q.query_id, i)] == p.point_id, (
+                    q.query_id,
+                    i,
+                )
