@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``: exact brute-force top-k cosine — the correctness
+  baseline. Queries are broadcast; the scan side streams (no shuffle of
+  the corpus), score + window top-k.
+* ``lsh_cosine_topk``: random-hyperplane LSH bucketing as the scale
+  path — candidates only from matching signature buckets (multi-probe via
+  several tables), exact cosine re-rank among candidates.
+
+All dot products run as native ``zip_with``/``aggregate`` column algebra
+(JVM) — no Python UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine. Output (query_id, vec_id, sim, rank);
+    deterministic tie-break (sim desc, vec_id asc); self-matches excluded
+    when ids collide."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("_cid") != F.col("_qid"))
+    scored = joined.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return out.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        "sim",
+        "rank",
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a splitmix-style
+    integer mix — no RNG state, reproducible everywhere."""
+    out = []
+    for d in range(dim):
+        z = (table * 1_000_003 + bit * 10_007 + d * 97 + 0x9E3779B9) & 0xFFFFFFFF
+        z = (z ^ (z >> 16)) * 0x85EBCA6B & 0xFFFFFFFF
+        z = (z ^ (z >> 13)) * 0xC2B2AE35 & 0xFFFFFFFF
+        z = z ^ (z >> 16)
+        out.append((z / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, table: int, n_bits: int = 12) -> Column:
+    """Random-hyperplane signature: n_bits sign bits packed to a long."""
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = _hyperplane(dim, table, b)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 10,
+) -> DataFrame:
+    """Approximate top-k: union of `n_tables` signature-bucket joins,
+    exact cosine re-rank among candidates. Recall grows with n_tables;
+    cost stays bucket-local (no cross join, no corpus shuffle beyond the
+    bucket keys)."""
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    cands = None
+    for t in range(n_tables):
+        csig = c.withColumn("_sig", lsh_signature(F.col("_cv"), dim, t, n_bits))
+        qsig = q.withColumn("_sig", lsh_signature(F.col("_qv"), dim, t, n_bits))
+        part = csig.join(F.broadcast(qsig), "_sig").select(
+            "_qid", "_qv", "_cid", "_cv"
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    cands = cands.filter(F.col("_cid") != F.col("_qid")).dropDuplicates(
+        ["_qid", "_cid"]
+    )
+    scored = cands.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return out.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        "sim",
+        "rank",
+    )
