@@ -1,38 +1,513 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over
+the driver parquet at sf_dir; ``oracle_sql()`` gives DuckDB-equivalent
+SQL for every query whose semantics SQL can express independently.
+H3-kernel value correctness (cell ids, boundaries, rings, polyfill) is
+gated by the golden parity suite in tests/ (DuckDB has no H3); those
+queries appear here as rows-only entries. The interleaved-documents
+table is synthesized deterministically with integer-only arithmetic so
+the oracle rebuilds it bit-for-bit in SQL (sparkh3/datagen.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sparkh3 import dataframe as dfo  # noqa: E402
+from sparkh3 import datagen  # noqa: E402
+from sparkh3 import functions as H3F  # noqa: E402
+from sparkh3.operators import joins, similarity, spans, textops  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared synthetic-cell construction (pure integer arithmetic, identical in
+# Spark SQL and DuckDB SQL) — used to oracle the bit-math rollup path
+# ---------------------------------------------------------------------------
+
+_P52 = 1 << 52
+_P45 = 1 << 45
+_MODE1 = 1 << 59
+
+
+def _synth_cell_sql(key: str) -> str:
+    """SQL building a valid res-9 H3 index from an integer key.
+
+    Base cell = key % 122; digits 1..9 from {2..6} (never K=1, so
+    pentagon-safe); digits 10..15 = 7.
+    """
+    parts = [f"{_MODE1} + {9 * _P52} + (({key}) % 122) * {_P45}"]
+    for i in range(1, 10):
+        shift = 1 << (3 * (15 - i))
+        parts.append(f"(2 + (({key}) + {i}) % 5) * {shift}")
+    parts.append(str((1 << 18) - 1))
+    return "(" + " + ".join(parts) + ")"
+
+
+_HAV = (
+    "2.0 * 6371.007180918475 * asin(sqrt("
+    "pow(sin(radians(({plat}) - ({qlat})) / 2), 2) + "
+    "cos(radians({qlat})) * cos(radians({plat})) * "
+    "pow(sin(radians(({plng}) - ({qlng})) / 2), 2)))"
+)
+
+_KNN_QUERIES = [
+    (1, 40.75, -73.99),
+    (2, 51.5, -0.12),
+    (3, 35.68, 139.76),
+    (4, -23.55, -46.63),
+    (5, 28.61, 77.21),
+]
+
+_RECTS = [
+    ("nyc", 38.0, 43.0, -77.0, -71.0),
+    ("europe", 45.0, 55.0, -5.0, 15.0),
+    ("tokyo", 33.0, 38.0, 136.0, 143.0),
+    ("south", -40.0, -20.0, -60.0, -40.0),
+]
+
+
+def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = datagen.interleaved_documents(spark, sf_dir)
+    return spans.extract_geometry(d).select("doc_id", "lat", "lng", "lang")
+
+
+def _points_cte() -> str:
+    """DuckDB CTE producing the identical (doc_id, lat, lng, lang) point
+    set from the documents view (same integer arithmetic as datagen)."""
+    lat, lng = datagen._coord_sql("doc_id")
+    return (
+        f"SELECT 'doc-' || cast(doc_id as varchar) AS doc_id, "
+        f"({lat}) / 1000000.0 AS lat, ({lng}) / 1000000.0 AS lng, lang "
+        f"FROM documents"
+    )
+
+
+def _rect_polys(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    poly_t = ArrayType(
+        ArrayType(
+            StructType(
+                [StructField("lng", DoubleType()), StructField("lat", DoubleType())]
+            )
+        )
+    )
+    rows = []
+    for pid, y0, y1, x0, x1 in _RECTS:
+        ring = [
+            {"lng": x0, "lat": y0},
+            {"lng": x1, "lat": y0},
+            {"lng": x1, "lat": y1},
+            {"lng": x0, "lat": y1},
+            {"lng": x0, "lat": y0},
+        ]
+        rows.append((pid, [ring]))
+    schema = StructType(
+        [StructField("poly_id", StringType()), StructField("geometry", poly_t)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_geo_grid_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_to_h3_aggregate skeleton on an integer grid key (oracle-able);
+    exercises spans extraction + groupBy/agg."""
+    pts = _docs_points(spark, sf_dir)
+    return (
+        pts.withColumn("glat", F.floor(F.col("lat") / 10.0).cast("long"))
+        .withColumn("glng", F.floor(F.col("lng") / 10.0).cast("long"))
+        .groupBy("glat", "glng")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_parent_rollup_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native bit-math parent rollup over synthetic valid cells — the
+    engine's h3_to_parent + groupBy path, oracled by independent SQL."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_li")
+    cells = spark.sql(
+        f"SELECT lower(hex({_synth_cell_sql('l_orderkey')})) AS h3_09, "
+        "l_quantity FROM _li"
+    )
+    rolled = dfo.h3_to_parent_aggregate(
+        cells, 5, operation={"l_quantity": "sum"}, h3_col="h3_09", return_geometry=False
+    )
+    return rolled.select(
+        "h3_05", F.round(F.col("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon join (H3 cover prejoin + ray-cast refine)
+    vs a pure BETWEEN oracle."""
+    pts = _docs_points(spark, sf_dir)
+    out = joins.pip_join(pts, _rect_polys(spark), resolution=4)
+    return out.select("doc_id", "poly_id")
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via k_ring expansion vs brute-force window oracle."""
+    pts = _docs_points(spark, sf_dir)
+    queries = spark.createDataFrame(_KNN_QUERIES, ["query_id", "lat", "lng"])
+    out = joins.knn_join(
+        queries, pts.withColumnRenamed("doc_id", "point_id"), k=5, resolution=6
+    )
+    return out.select("query_id", "point_id", "rank")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.exact_dedup(docs).select("text", "keeper_id", "dup_count")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.quality_score(textops.token_count(docs))
+    return out.select(
+        "doc_id", "n_tokens", "avg_word_len", "uniq_token_ratio", "quality"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.lang_id(docs)
+    return out.select("doc_id", "score_en", "score_data", "score_query", "lang_guess")
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-30"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", "rank")
+    )
+
+
+def q_events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+def q_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = datagen.interleaved_documents(spark, sf_dir)
+    st = spans.span_stats(d)
+    return st.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").alias("total_spans"),
+        F.sum("n_media_spans").alias("total_media"),
+        F.sum("text_len").alias("total_text_len"),
+    )
+
+
+def q_extract_geometry_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full spans pipeline: synthesize -> extract geo span -> parse ->
+    grid aggregate; the oracle re-parses the spans it rebuilds in SQL."""
+    d = datagen.interleaved_documents(spark, sf_dir)
+    g = spans.extract_geometry(d)
+    return (
+        g.withColumn("glat", F.floor(F.col("lat") / 5.0).cast("long"))
+        .withColumn("glng", F.floor(F.col("lng") / 5.0).cast("long"))
+        .groupBy("glat", "glng")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --- rows-only queries (H3 kernel values: gated by the golden pytest suite) ---
+
+
+def q_h3_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_to_h3 + count per res-6 cell, top-50 densest (hot hubs)."""
+    pts = _docs_points(spark, sf_dir)
+    agg = dfo.geo_to_h3_aggregate(
+        pts.select("lat", "lng", F.lit(1).alias("one")),
+        6,
+        operation="count",
+        return_geometry=False,
+    )
+    return (
+        agg.select(F.col("h3_06"), F.col("one").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("h3_06"))
+        .limit(50)
+    )
+
+
+def q_polyfill_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon tiling: polyfill the rect set at res 4, exploded."""
+    out = dfo.polyfill(_rect_polys(spark), 4, explode=True)
+    return out.select("poly_id", "h3_polyfill")
+
+
+def q_compact_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact/uncompact tile algebra over the polyfill tiles."""
+    tiles = dfo.polyfill(_rect_polys(spark), 4)
+    packed = dfo.h3_compact(tiles.select("poly_id", "h3_polyfill"), "h3_polyfill")
+    return packed.select(
+        "poly_id", F.explode("h3_polyfill").alias("cell")
+    )
+
+
+def q_kring_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k_ring smoothing of doc counts per res-5 cell around NYC."""
+    pts = _docs_points(spark, sf_dir).filter(
+        (F.abs(F.col("lat") - 40.75) < 3) & (F.abs(F.col("lng") + 73.99) < 3)
+    )
+    cells = dfo.geo_to_h3_aggregate(
+        pts.select("lat", "lng", F.lit(1).alias("cnt")),
+        5,
+        operation="sum",
+        return_geometry=False,
+    )
+    sm = dfo.k_ring_smoothing(cells, 1, return_geometry=False, h3_col="h3_05")
+    return sm.select(
+        F.col("h3_k_ring"), F.round(F.col("cnt"), 6).alias("smoothed")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = textops.minhash_lsh_dedup(docs, jaccard_threshold=0.35)
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.simhash_dedup(docs, max_hamming=2).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkh3.operators import multimodal
+
+    d = datagen.interleaved_documents(spark, sf_dir)
+    refs = (
+        d.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+    media = multimodal.synthesize_media(refs)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select("media_id", "kind", "n_bytes")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs -> span geo extraction -> geo_to_h3(7)
+    -> parent rollup to res 5 -> densest tiles."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _docs_points(spark, sf_dir)
+    cells = dfo.geo_to_h3_aggregate(
+        pts.select("lat", "lng", F.lit(1).alias("n")),
+        7,
+        operation="sum",
+        return_geometry=False,
+    )
+    rolled = dfo.h3_to_parent_aggregate(
+        cells, 5, operation="sum", h3_col="h3_07", return_geometry=False
+    )
+    return rolled.orderBy(F.col("n").desc(), F.col("h3_05")).limit(100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geo_grid_aggregate": q_geo_grid_aggregate,
+        "parent_rollup_bits": q_parent_rollup_bits,
+        "pip_join_rect": q_pip_join_rect,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_cosine": q_ann_cosine,
+        "tpch_pricing": q_tpch_pricing,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "events_top_per_user": q_events_top_per_user,
+        "spans_stats": q_spans_stats,
+        "extract_geometry_grid": q_extract_geometry_grid,
+        # rows-only (H3 kernel values; golden-gated in tests/)
+        "h3_cells_topk": q_h3_cells_topk,
+        "polyfill_tiles": q_polyfill_tiles,
+        "compact_tiles": q_compact_tiles,
+        "kring_smoothing": q_kring_smoothing,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = _points_cte()
+    spans_cte = datagen.interleaved_documents_sql()
+    rect_union = " UNION ALL ".join(
+        f"SELECT '{pid}' AS poly_id, {y0} AS y0, {y1} AS y1, {x0} AS x0, {x1} AS x1"
+        for pid, y0, y1, x0, x1 in _RECTS
+    )
+    knn_union = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, {qla} AS qlat, {qln} AS qlng"
+        for qid, qla, qln in _KNN_QUERIES
+    )
+    hav = _HAV.format(plat="p.lat", plng="p.lng", qlat="q.qlat", qlng="q.qlng")
+    synth = _synth_cell_sql("l_orderkey")
+    parent = f"(({synth} & {~(15 << 52)}) | {5 << 52} | {(1 << 30) - 1})"
+    return {
+        "geo_grid_aggregate": (
+            f"WITH pts AS ({pts}) "
+            "SELECT cast(floor(lat / 10.0) as bigint) AS glat, "
+            "cast(floor(lng / 10.0) as bigint) AS glng, "
+            "count(*) AS n_docs FROM pts GROUP BY 1, 2"
+        ),
+        "parent_rollup_bits": (
+            f"SELECT printf('%x', {parent}) AS h3_05, "
+            "round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "pip_join_rect": (
+            f"WITH pts AS ({pts}), rects AS ({rect_union}) "
+            "SELECT p.doc_id, r.poly_id FROM pts p JOIN rects r "
+            "ON p.lat > r.y0 AND p.lat < r.y1 AND p.lng > r.x0 AND p.lng < r.x1"
+        ),
+        "knn": (
+            f"WITH pts AS ({pts}), q AS ({knn_union}), "
+            f"scored AS (SELECT q.query_id, p.doc_id AS point_id, {hav} AS d "
+            "FROM q CROSS JOIN pts p), "
+            "ranked AS (SELECT query_id, point_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY d ASC, point_id ASC) "
+            "AS rank FROM scored) "
+            "SELECT query_id, point_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "dedup_exact": (
+            "SELECT text, min(doc_id) AS keeper_id, count(*) AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "text_quality": (
+            "WITH t AS (SELECT doc_id, length(text) AS n_chars, "
+            "string_split(trim(text), ' ') AS toks FROM documents) "
+            "SELECT doc_id, len(toks) AS n_tokens, "
+            "round((n_chars - len(toks) + 1) / cast(len(toks) as double), 6) "
+            "AS avg_word_len, "
+            "round(len(list_distinct(toks)) / cast(len(toks) as double), 6) "
+            "AS uniq_token_ratio, "
+            "round(least(len(toks) / 50.0, 1.0) * "
+            "(len(list_distinct(toks)) / cast(len(toks) as double)), 6) AS quality "
+            "FROM t"
+        ),
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks "
+            "FROM documents), s AS (SELECT doc_id, "
+            "len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS score_en, "
+            "len(list_filter(toks, x -> x IN ('data','table','row','column','key'))) AS score_data, "
+            "len(list_filter(toks, x -> x IN ('query','join','filter','sort','group'))) AS score_query "
+            "FROM t) SELECT doc_id, score_en, score_data, score_query, "
+            "CASE WHEN score_en >= score_data AND score_en >= score_query THEN 'en' "
+            "WHEN score_data >= score_query THEN 'data' ELSE 'query' END AS lang_guess "
+            "FROM s"
+        ),
+        "ann_cosine": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.qv, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank "
+            "FROM scored) "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "tpch_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders_per_segment": (
+            "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), "
+            "r AS (SELECT c_mktsegment, o_orderkey, row_number() OVER "
+            "(PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) "
+            "AS rank FROM j) "
+            "SELECT c_mktsegment, o_orderkey, rank FROM r WHERE rank <= 3"
+        ),
+        "events_top_per_user": (
+            "WITH r AS (SELECT user_id, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank "
+            "FROM events) "
+            "SELECT user_id, event_id, rank FROM r WHERE rank <= 2"
+        ),
+        "spans_stats": (
+            f"WITH d AS ({spans_cte}) "
+            "SELECT lang, count(*) AS n_docs, sum(len(spans)) AS total_spans, "
+            "sum(len(list_filter(spans, s -> s.kind = 'media'))) AS total_media, "
+            "sum(list_sum(list_transform(list_filter(spans, s -> s.kind = 'text'), "
+            "s -> length(s.text)))) AS total_text_len "
+            "FROM d GROUP BY lang"
+        ),
+        "extract_geometry_grid": (
+            f"WITH d AS ({spans_cte}), "
+            "g AS (SELECT list_filter(spans, s -> s.kind = 'geo')[1].text AS gt "
+            "FROM d), "
+            "p AS (SELECT cast(string_split(gt, ',')[1] as bigint) / 1000000.0 "
+            "AS lat, cast(string_split(gt, ',')[2] as bigint) / 1000000.0 AS lng "
+            "FROM g) "
+            "SELECT cast(floor(lat / 5.0) as bigint) AS glat, "
+            "cast(floor(lng / 5.0) as bigint) AS glng, count(*) AS n_docs "
+            "FROM p GROUP BY 1, 2"
+        ),
+    }
