@@ -1,0 +1,126 @@
+"""Table layer (manifest pruning, snapshots) + checkpointed-stage resume."""
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkh3 import dataframe as dfo
+from sparkh3 import datagen
+from sparkh3.operators import spans
+from sparkh3.plans import checkpoint
+from sparkh3.sources import manifest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def h3_docs(spark):
+    d = datagen.interleaved_documents(spark, SF_DIR)
+    pts = spans.extract_geometry(d).select("doc_id", "lat", "lng")
+    return dfo.geo_to_h3(pts, 7)
+
+
+class TestManifestTable:
+    def test_write_read_roundtrip(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "tbl")
+        snap = manifest.write_table(h3_docs, root, "h3_07")
+        assert snap["version"] == 1
+        assert snap["total_rows"] == h3_docs.count()
+        back = manifest.read_table(spark, root)
+        assert back.count() == snap["total_rows"]
+        assert "h3_07" in back.columns
+
+    def test_file_pruning(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "tbl")
+        manifest.write_table(h3_docs, root, "h3_07")
+        # query one hub's res-3 ancestor: only a few files should survive
+        one = h3_docs.filter(
+            (F.abs(F.col("lat") - 40.75) < 3) & (F.abs(F.col("lng") + 73.99) < 3)
+        ).first()
+        import numpy as np
+
+        from sparkh3.kernel import index as ix
+
+        anc = ix.int_to_str(
+            ix.cell_to_parent(ix.str_to_int([one.h3_07]), 3)
+        )[0]
+        kept, total = manifest.pruned_file_count(root, [anc])
+        assert kept < total
+        got = manifest.read_table(spark, root, cells=[anc])
+        # exactness: pruned read == full-scan filter by parent
+        full = manifest.read_table(spark, root).withColumn(
+            "_p3",
+            F.lower(F.hex(
+                F.expr(
+                    f"(_h3_int & {~(15 << 52)}) | {3 << 52} | {(1 << 36) - 1}"
+                )
+            )),
+        )
+        expect = full.filter(F.col("_p3") == anc).count()
+        assert got.count() == expect
+        assert got.count() > 0
+
+    def test_snapshot_versions(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "tbl")
+        manifest.write_table(h3_docs.limit(100), root, "h3_07")
+        manifest.write_table(h3_docs, root, "h3_07")
+        s1 = manifest.load_snapshot(root, 1)
+        s2 = manifest.load_snapshot(root)
+        assert s2["version"] == 2 and s2["parent"] == 1
+        assert s1["total_rows"] == 100
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_shards(self, spark, h3_docs, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+
+        def agg_counts(df):
+            return df.groupBy("h3_07").agg(F.count("*").alias("n"))
+
+        # first attempt dies after 3 shards
+        with pytest.raises(RuntimeError, match="injected"):
+            checkpoint.run_stage(
+                h3_docs, "counts", agg_counts, ckpt, "doc_id", n_shards=6,
+                fail_on_shard=3,
+            )
+        done_before = len(checkpoint.stage_metrics(ckpt, "counts"))
+        assert done_before == 3
+        # resume completes only the remaining shards
+        out = checkpoint.run_stage(
+            h3_docs, "counts", agg_counts, ckpt, "doc_id", n_shards=6
+        )
+        metrics = checkpoint.stage_metrics(ckpt, "counts")
+        assert len(metrics) == 6
+        # ledger rows_in sums to input size; output equals direct compute
+        assert sum(m["rows_in"] for m in metrics) == h3_docs.count()
+        direct = agg_counts(h3_docs)
+        got = out.groupBy("h3_07").agg(F.sum("n").alias("n"))
+        diff = (
+            got.join(direct.withColumnRenamed("n", "n2"), "h3_07", "full")
+            .filter(
+                F.coalesce(F.col("n"), F.lit(-1))
+                != F.coalesce(F.col("n2"), F.lit(-2))
+            )
+            .count()
+        )
+        assert diff == 0
+
+    def test_fingerprint_invalidates_stale(self, spark, h3_docs, tmp_path):
+        ckpt = str(tmp_path / "ckpt2")
+
+        def ident(df):
+            return df
+
+        checkpoint.run_stage(
+            h3_docs.limit(50), "s", ident, ckpt, "doc_id", n_shards=2
+        )
+        m1 = checkpoint.stage_metrics(ckpt, "s")
+        # different input -> fingerprints mismatch -> shards re-run
+        checkpoint.run_stage(
+            h3_docs.limit(80), "s", ident, ckpt, "doc_id", n_shards=2
+        )
+        m2 = checkpoint.stage_metrics(ckpt, "s")
+        assert sum(m["rows_in"] for m in m2) == 80
+        assert m1 != m2
