@@ -1,0 +1,231 @@
+"""Benchmark harness (driver contract): runs the headline spatial-join +
+tiling pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "rows_per_sec": ...,
+     "scaling": {"local8_sec": ..., "local32_sec": ..., "efficiency": ...}}
+
+The scaling block (two-parallelism evidence for the north rule's N->4N
+criterion) runs when SPARK_GRAFT_SCALING=1 (default on): the same input
+at local[8] and local[32]; efficiency = (T8/T32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+AMP = int(os.environ.get("SPARK_GRAFT_BENCH_AMP", "8"))  # point amplification
+
+HUB_RECTS = [
+    ("nyc", 38.0, 43.0, -77.0, -71.0),
+    ("london", 49.0, 54.0, -3.0, 3.0),
+    ("tokyo", 33.0, 38.0, 136.0, 143.0),
+    ("cdmx", 17.0, 22.0, -102.0, -96.0),
+    ("saopaulo", -26.0, -21.0, -49.0, -44.0),
+    ("delhi", 26.0, 31.0, 74.0, 80.0),
+    ("shanghai", 29.0, 34.0, 118.0, 124.0),
+    ("lagos", 4.0, 9.0, 1.0, 6.0),
+    ("moscow", 53.0, 58.0, 35.0, 41.0),
+    ("sydney", -36.0, -31.0, 148.0, 154.0),
+    ("paris", 46.0, 51.0, 0.0, 5.0),
+    ("sf", 35.0, 40.0, -125.0, -119.0),
+]
+
+
+def _session(threads: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{threads}]")
+        .appName(f"sparkh3-bench-{threads}")
+        .config("spark.sql.shuffle.partitions", str(max(threads, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _points(spark, sf_dir: str, amp: int):
+    """Synthetic skewed points from events (hub arithmetic like datagen),
+    amplified `amp`x to make the job parallelism-bound."""
+    from pyspark.sql import functions as F
+
+    from sparkh3.datagen import _coord_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("_rep", F.explode(F.sequence(F.lit(1), F.lit(amp))))
+    ev = ev.withColumn("_k", F.col("event_id") * amp + F.col("_rep"))
+    ev.createOrReplaceTempView("_bench_events")
+    lat, lng = _coord_sql("_k")
+    return spark.sql(
+        f"SELECT _k AS point_id, ({lat}) / 1000000.0 AS lat, "
+        f"({lng}) / 1000000.0 AS lng, value FROM _bench_events"
+    )
+
+
+def _rect_polys(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    poly_t = ArrayType(
+        ArrayType(
+            StructType(
+                [StructField("lng", DoubleType()), StructField("lat", DoubleType())]
+            )
+        )
+    )
+    rows = []
+    for pid, y0, y1, x0, x1 in HUB_RECTS:
+        ring = [
+            {"lng": x0, "lat": y0},
+            {"lng": x1, "lat": y0},
+            {"lng": x1, "lat": y1},
+            {"lng": x0, "lat": y1},
+            {"lng": x0, "lat": y0},
+        ]
+        rows.append((pid, [ring]))
+    schema = StructType(
+        [StructField("poly_id", StringType()), StructField("geometry", poly_t)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
+    from pyspark.sql import functions as F
+
+    from sparkh3 import dataframe as dfo
+    from sparkh3 import datagen
+    from sparkh3.operators import joins, similarity, skew, spans, textops
+
+    timings: dict[str, float] = {}
+    rows_total = 0
+
+    pts = _points(spark, sf_dir, AMP).persist()
+    n_pts = pts.count()
+
+    # q1: tile encode + skew-salted aggregate (geo_to_h3 + hot-key salting)
+    t0 = time.time()
+    cells = dfo.geo_to_h3(pts, 8)
+    agg = skew.salted_cell_count(
+        cells.select("h3_08", "value"), "h3_08", value_col="value"
+    )
+    agg.persist()
+    agg.count()
+    timings["q1_tile_encode_agg"] = round(time.time() - t0, 3)
+    rows_total += n_pts
+
+    # q2: parent rollup (native bit math) to res 4
+    t0 = time.time()
+    rolled = dfo.h3_to_parent_aggregate(
+        agg, 4, operation="sum", h3_col="h3_08", return_geometry=False
+    )
+    rolled.count()
+    timings["q2_parent_rollup"] = round(time.time() - t0, 3)
+    rows_total += n_pts
+    agg.unpersist()
+
+    # q3: exact PIP join points x 12 hub polygons
+    t0 = time.time()
+    pip = joins.pip_join(pts, _rect_polys(spark), resolution=4)
+    pip.groupBy("poly_id").count().count()
+    timings["q3_pip_join"] = round(time.time() - t0, 3)
+    rows_total += n_pts
+
+    # q4: kNN (20 hub queries, k=10) against the doc points
+    t0 = time.time()
+    d = datagen.interleaved_documents(spark, sf_dir)
+    dpts = spans.extract_geometry(d).select(
+        F.col("doc_id").alias("point_id"), "lat", "lng"
+    )
+    queries = spark.createDataFrame(
+        [(i, y0 + 2.0, (x0 + x1) / 2.0) for i, (_, y0, _, x0, x1) in enumerate(HUB_RECTS)]
+        + [(100 + i, -10.0 + i, 10.0 * i) for i in range(8)],
+        ["query_id", "lat", "lng"],
+    )
+    knn = joins.knn_join(queries, dpts, k=10, resolution=5)
+    n_docs = dpts.count()
+    knn.count()
+    timings["q4_knn"] = round(time.time() - t0, 3)
+    rows_total += n_docs
+
+    # q5: polyfill tiling + compact algebra
+    t0 = time.time()
+    tiles = dfo.polyfill(_rect_polys(spark).repartition(len(HUB_RECTS)), 5)
+    packed = dfo.h3_compact(tiles.select("poly_id", "h3_polyfill"), "h3_polyfill")
+    packed.select(F.explode("h3_polyfill")).count()
+    timings["q5_polyfill_compact"] = round(time.time() - t0, 3)
+
+    # q6: minhash near-dup pass over documents
+    t0 = time.time()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    textops.minhash_lsh_dedup(docs, jaccard_threshold=0.4).count()
+    timings["q6_minhash_dedup"] = round(time.time() - t0, 3)
+    rows_total += docs.count()
+
+    # q7: ANN cosine top-k over embeddings
+    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    similarity.cosine_topk(emb, q, k=10).count()
+    timings["q7_ann_cosine"] = round(time.time() - t0, 3)
+    rows_total += emb.count()
+
+    pts.unpersist()
+    return timings, rows_total
+
+
+def run_leg(threads: int, sf_dir: str) -> tuple[dict, int, float]:
+    spark = _session(threads)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings, rows = run_suite(spark, sf_dir)
+    wall = time.time() - t0
+    spark.stop()
+    return timings, rows, wall
+
+
+def main() -> None:
+    timings32, rows, wall32 = run_leg(CPUS, SF_DIR)
+    result = {
+        "metric": "spatial_join_tiling_pipeline",
+        "value": round(wall32, 3),
+        "unit": "sec",
+        "queries": timings32,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows_processed": rows,
+        "rows_per_sec": round(rows / wall32, 1),
+        "threads": CPUS,
+    }
+    if DO_SCALING:
+        _, rows8, wall8 = run_leg(8, SF_DIR)
+        eff = (wall8 / wall32) / (CPUS / 8)
+        result["scaling"] = {
+            "local8_sec": round(wall8, 3),
+            f"local{CPUS}_sec": round(wall32, 3),
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,11 @@ def pip_join(
     from . import udfs
 
     cover = udfs.polyfill_cover_udf(resolution)
-    poly_cells = polygons.withColumn("_cells", cover(F.col(geometry_col)))
+    # spread the (small) polygon side so each cover computation gets its
+    # own task — the UDF cost is per-polygon, not per-row-count
+    n_poly = polygons.count()
+    spread = polygons.repartition(max(min(n_poly, 256), 1))
+    poly_cells = spread.withColumn("_cells", cover(F.col(geometry_col)))
     poly_cells = poly_cells.withColumn("_cell", F.explode("_cells")).drop("_cells")
     if broadcast:
         poly_cells = F.broadcast(poly_cells)
@@ -135,15 +139,16 @@ def knn_join(
         )
 
     remaining = q_all
+    n_remaining = q_all.count()
     done_parts: list[DataFrame] = []
     res_cur = resolution
-    while True:
-        if remaining.limit(1).count() == 0:
-            break
+    while n_remaining > 0:
         if res_cur <= 0:
             # brute force the stragglers (few by construction)
             cand = remaining.crossJoin(pts)
-            done_parts.append(topk_of(cand).drop("_cell0", "_qcell0"))
+            part = topk_of(cand).drop("_cell0", "_qcell0").persist()
+            part.count()
+            done_parts.append(part)
             break
         w_min = min_cell_width_km(res_cur)
         qc = (
@@ -158,31 +163,34 @@ def knn_join(
         )
         rem = remaining.withColumn("_qcell", qc)
         pts_r = pts.withColumn("_cell", pc)
-        solved_here = False
         for r in (2, 8):
             ring = udfs.k_ring_udf_int(r)
             cand = rem.withColumn("_cell", F.explode(ring(F.col("_qcell"))))
             cand = cand.join(pts_r, "_cell", "inner")
-            topk = topk_of(cand)
+            topk = topk_of(cand).persist()
             per_q = topk.groupBy("_qid").agg(
                 F.count("*").alias("_n"), F.max("_dist").alias("_kth")
             )
             # any point outside ring r is at haversine >= (r-1)*w_min
-            safe_q = per_q.filter(
+            safe_rows = per_q.filter(
                 (F.col("_n") >= k)
                 & (F.col("_kth") <= F.lit(max(r - 1, 1) * w_min))
-            ).select("_qid")
-            done = topk.join(F.broadcast(safe_q), "_qid", "inner")
-            done_parts.append(
-                done.drop("_cell", "_cell0", "_qcell", "_qcell0")
-            )
-            remaining = remaining.join(F.broadcast(safe_q), "_qid", "left_anti")
-            rem = rem.join(F.broadcast(safe_q), "_qid", "left_anti")
-            if remaining.limit(1).count() == 0:
-                solved_here = True
+            ).select("_qid").collect()
+            safe_ids = [row["_qid"] for row in safe_rows]
+            if safe_ids:
+                done = (
+                    topk.filter(F.col("_qid").isin(safe_ids))
+                    .drop("_cell", "_cell0", "_qcell", "_qcell0")
+                    .persist()
+                )
+                done.count()
+                done_parts.append(done)
+                remaining = remaining.filter(~F.col("_qid").isin(safe_ids))
+                rem = rem.filter(~F.col("_qid").isin(safe_ids))
+                n_remaining -= len(safe_ids)
+            topk.unpersist()
+            if n_remaining == 0:
                 break
-        if solved_here:
-            break
         res_cur -= 3
     out = done_parts[0]
     for p in done_parts[1:]:
