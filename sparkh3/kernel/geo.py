@@ -82,8 +82,13 @@ def cell_to_faceijk(h: np.ndarray):
     res = ix.get_resolution(h)
     bc = ix.get_base_cell(h)
     pent = ix.is_pentagon_base(bc)
-    lead = ix.leading_non_zero_digit(h)
-    h2 = np.where(pent & (lead == ix.IK_AXES_DIGIT), ix.rotate60cw(h), h)
+    h2 = h
+    if np.any(pent):
+        plead = ix.leading_non_zero_digit(h[pent])
+        rot_idx = np.where(pent)[0][plead == ix.IK_AXES_DIGIT]
+        if len(rot_idx):
+            h2 = h.copy()
+            h2[rot_idx] = ix.rotate60cw(h2[rot_idx])
     face = BASE_CELL_DATA[bc, 0].copy()
     ijk = BASE_CELL_DATA[bc, 1:4].copy()
     possible_overage = ~(
@@ -107,8 +112,9 @@ def cell_to_faceijk(h: np.ndarray):
     sub_m = possible_overage & cls3
     ijk = np.where(sub_m[..., None], IJK.down_ap7r(ijk), ijk)
     adj_res = res + sub_m.astype(np.int64)
-    lead2 = ix.leading_non_zero_digit(h2)
-    pent4 = pent & (lead2 == ix.I_AXES_DIGIT)
+    pent4 = np.zeros(h.shape, dtype=bool)
+    if np.any(pent):
+        pent4[pent] = ix.leading_non_zero_digit(h2[pent]) == ix.I_AXES_DIGIT
     ov, face, ijk = _adjust_overage_class2(
         face, ijk, adj_res, pent4, substrate=False, active=possible_overage
     )
@@ -186,26 +192,35 @@ def _latlng_to_cell_impl(lat, lng, res: int, tables, debug=False):
         )
 
     h = ix.build_cell(bc, res, digits)
+    lead_dbg = ix.leading_non_zero_digit(h) if debug else None
     pent = ix.is_pentagon_base(bc)
-    lead = ix.leading_non_zero_digit(h)
     if np.any(pent):
-        fix = pent & (lead == ix.K_AXES_DIGIT)
-        if np.any(fix):
-            cw = pent_cw[bc, face]
-            h = np.where(fix & cw, ix.rotate60cw(h), np.where(fix & ~cw, ix.rotate60ccw(h), h))
+        lead = ix.leading_non_zero_digit(h[pent])
+        fix_idx = np.where(pent)[0][lead == ix.K_AXES_DIGIT]
+        if len(fix_idx):
+            cw = pent_cw[bc[fix_idx], face[fix_idx]]
+            if np.any(cw):
+                h[fix_idx[cw]] = ix.rotate60cw(h[fix_idx[cw]])
+            if np.any(~cw):
+                h[fix_idx[~cw]] = ix.rotate60ccw(h[fix_idx[~cw]])
         for nrot in range(1, 6):
-            m = pent & (rots >= nrot)
-            if not np.any(m):
-                break
-            h = np.where(m, ix.rotate_pent60ccw(h), h)
+            m = pent & (rots == nrot)
+            if np.any(m):
+                hh = h[m]
+                for _ in range(nrot):
+                    hh = ix.rotate_pent60ccw(hh)
+                h[m] = hh
+    # hexagons: apply `rots` ccw rotations, grouped by rotation count
     hexm = ~pent
     for nrot in range(1, 6):
-        m = hexm & (rots >= nrot)
-        if not np.any(m):
-            break
-        h = np.where(m, ix.rotate60ccw(h), h)
+        m = hexm & (rots == nrot)
+        if np.any(m):
+            hh = h[m]
+            for _ in range(nrot):
+                hh = ix.rotate60ccw(hh)
+            h[m] = hh
     if debug:
-        return h, bc, face, lead
+        return h, bc, face, lead_dbg
     return h
 
 

@@ -123,13 +123,18 @@ def up_ap7r(ijk: np.ndarray) -> np.ndarray:
 
 
 def _lincomb(ijk: np.ndarray, iv, jv, kv) -> np.ndarray:
-    i = ijk[..., 0:1]
-    j = ijk[..., 1:2]
-    k = ijk[..., 2:3]
-    iv = np.asarray(iv, dtype=np.int64)
-    jv = np.asarray(jv, dtype=np.int64)
-    kv = np.asarray(kv, dtype=np.int64)
-    return normalize(i * iv + j * jv + k * kv)
+    i = ijk[..., 0]
+    j = ijk[..., 1]
+    k = ijk[..., 2]
+    out = np.empty_like(ijk)
+    for c in range(3):
+        acc = out[..., c]
+        np.multiply(i, iv[c], out=acc)
+        if jv[c]:
+            acc += j * jv[c]
+        if kv[c]:
+            acc += k * kv[c]
+    return normalize(out)
 
 
 def down_ap7(ijk: np.ndarray) -> np.ndarray:

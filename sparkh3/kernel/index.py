@@ -81,27 +81,34 @@ def set_resolution(h: np.ndarray, res) -> np.ndarray:
     return (_asarray(h) & ~(_U64(0xF) << _U64(52))) | (res << _U64(52))
 
 
+_DIGIT_WEIGHTS = (
+    np.uint64(1) << (np.arange(MAX_H3_RES - 1, -1, -1, dtype=np.uint64) * np.uint64(3))
+)
+
+
 def build_cell(base_cell, res, digits: np.ndarray) -> np.ndarray:
     """Assemble cell indexes from base cell, resolution and a (N,15) digit array.
 
     Digits at positions >= res must already be INVALID_DIGIT (7).
+    Digit fields are disjoint, so packing is one weighted sum.
     """
     base_cell = np.asarray(base_cell, dtype=np.uint64)
     res = np.asarray(res, dtype=np.uint64)
     h = (_U64(1) << _U64(59)) | (res << _U64(52)) | (base_cell << _U64(45))
-    d = digits.astype(np.uint64)
-    for r in range(MAX_H3_RES):
-        h = h | (d[..., r] << _U64((MAX_H3_RES - 1 - r) * 3))
-    return h
+    return h + (digits.astype(np.uint64) * _DIGIT_WEIGHTS).sum(
+        axis=-1, dtype=np.uint64
+    )
+
+
+_DIGIT_SHIFTS = (
+    np.arange(MAX_H3_RES - 1, -1, -1, dtype=np.uint64) * np.uint64(3)
+)
 
 
 def digits_of(h: np.ndarray) -> np.ndarray:
     """(N,15) int8 array of digits for resolutions 1..15."""
     h = _asarray(h)
-    out = np.empty(h.shape + (MAX_H3_RES,), dtype=np.int8)
-    for r in range(1, MAX_H3_RES + 1):
-        out[..., r - 1] = (h >> _U64((MAX_H3_RES - r) * 3)) & _U64(7)
-    return out
+    return ((h[..., None] >> _DIGIT_SHIFTS) & _U64(7)).astype(np.int8)
 
 
 def is_pentagon_base(bc: np.ndarray) -> np.ndarray:

@@ -29,8 +29,13 @@ def pos_angle(a: np.ndarray) -> np.ndarray:
 
 
 def geo_to_vec3(lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    lat = np.asarray(lat)
+    out = np.empty(lat.shape + (3,), dtype=np.float64)
     cl = np.cos(lat)
-    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=-1)
+    np.multiply(cl, np.cos(lng), out=out[..., 0])
+    np.multiply(cl, np.sin(lng), out=out[..., 1])
+    np.sin(lat, out=out[..., 2])
+    return out
 
 
 def vec3_to_geo(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

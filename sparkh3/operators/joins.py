@@ -71,19 +71,32 @@ def pip_join(
     n_poly = polygons.count()
     spread = polygons.repartition(max(min(n_poly, 256), 1))
     poly_cells = spread.withColumn("_cells", cover(F.col(geometry_col)))
-    poly_cells = poly_cells.withColumn("_cell", F.explode("_cells")).drop("_cells")
+    poly_cells = poly_cells.withColumn("_cell", F.explode("_cells")).drop(
+        "_cells", geometry_col
+    )
     if broadcast:
         poly_cells = F.broadcast(poly_cells)
     pts = points.withColumn(
         "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
     )
     cand = pts.join(poly_cells, "_cell", "inner")
+    # exact refinement: polygon geometries ship in the UDF closure (the
+    # polygon side is the broadcastable small side by construction), so
+    # candidates carry only the poly key and the ray cast runs fully
+    # vectorized per polygon group.
+    poly_key = [c for c in polygons.columns if c != geometry_col][0]
+    geo_map = {
+        r[poly_key]: [
+            [(p["lat"], p["lng"]) for p in ring] for ring in r[geometry_col]
+        ]
+        for r in polygons.select(poly_key, geometry_col).collect()
+    }
     refined = cand.filter(
-        udfs.point_in_polygon_udf()(
-            F.col(lat_col), F.col(lng_col), F.col(geometry_col)
+        udfs.point_in_keyed_polygon_udf(geo_map)(
+            F.col(lat_col), F.col(lng_col), F.col(poly_key)
         )
     )
-    return refined.drop("_cell", geometry_col)
+    return refined.drop("_cell")
 
 
 def knn_join(

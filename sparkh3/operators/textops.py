@@ -136,9 +136,26 @@ def minhash_lsh_dedup(
     set-intersection on the joined pair only.
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).withColumn("_sig", minhash_signature(F.col("_text"), n_hashes, shingle_n))
+
+    def _hash_for(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    # materialize shingles once; the 16 per-seed mins reference the column
+    # (vs inlining the split/slice chain 16x into each array_min)
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .withColumn("_shingles", ngrams(F.col("_text"), shingle_n))
+        .withColumn(
+            "_sig",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_shingles"), _hash_for(j)))
+                    for j in range(n_hashes)
+                ]
+            ),
+        )
+        .drop("_shingles")
+    )
     banded = base.withColumn(
         "_band", F.explode(F.array(*[F.lit(b) for b in range(bands)]))
     ).withColumn(
@@ -178,10 +195,14 @@ def minhash_lsh_dedup(
 
 def simhash(text: Column, shingle_n: int = 2, bits: int = 32) -> Column:
     """SimHash over shingle hashes — native: per bit, sign of the sum of
-    bit contributions (+1/-1) across shingles."""
+    bit contributions (+1/-1) across shingles. Prefer simhash_from_hashes
+    over a materialized hash column in pipelines (avoids re-evaluating
+    the shingle chain per bit)."""
     sh = ngrams(text, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return simhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)), bits)
 
+
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     def _merge_for(bit: int):
         mask = 1 << bit
         return lambda acc, h: acc + F.when(
@@ -213,8 +234,12 @@ def simhash_dedup(
     pair within Hamming distance 3 of a 32-bit hash)."""
     base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn("_sh", simhash(F.col("_text"), bits=bits))
-        .drop("_text")
+        .withColumn(
+            "_hashes",
+            F.transform(ngrams(F.col("_text"), 2), lambda s: F.xxhash64(s)),
+        )
+        .withColumn("_sh", simhash_from_hashes(F.col("_hashes"), bits=bits))
+        .drop("_text", "_hashes")
     )
     band_w = bits // 4
     banded = base.withColumn(

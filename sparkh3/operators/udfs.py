@@ -68,6 +68,33 @@ def point_in_polygon_udf():
     return f
 
 
+def point_in_keyed_polygon_udf(geo_map: dict):
+    """(lat, lng, poly_key) -> bool. Polygon rings ship in the closure
+    (small side); the even-odd ray cast runs vectorized per polygon group
+    within each Arrow batch — no per-row Python."""
+
+    @F.pandas_udf(BooleanType())
+    def f(lat: pd.Series, lng: pd.Series, key: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..kernel import polygon as pg
+
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lng.to_numpy(dtype=np.float64)
+        out = np.zeros(len(la), dtype=bool)
+        karr = key.to_numpy(dtype=object)
+        for kval in pd.unique(karr):
+            rings = geo_map.get(kval)
+            if rings is None:
+                continue
+            rr = [np.asarray(r, dtype=np.float64) for r in rings]
+            ii = np.where(karr == kval)[0]
+            out[ii] = pg.points_in_rings(la[ii], lo[ii], rr)
+        return pd.Series(out)
+
+    return f
+
+
 def k_ring_udf_int(k: int):
     """cell -> array<string> disk; assumes valid uniform-res inputs
     (internal: kNN expansion)."""
