@@ -1,0 +1,88 @@
+"""Raster<->vector bridging, Callable aggregates, streaming ingestion."""
+
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkh3.operators import grouped, raster
+
+
+class TestRaster:
+    def test_raster_to_h3_mean(self, spark):
+        # 0.1-degree grid around Prague with value = lat (easy oracle)
+        rows = []
+        for i in range(20):
+            for j in range(20):
+                la = 50.0 + i * 0.01
+                lo = 14.0 + j * 0.01
+                rows.append(Row(lat=la, lng=lo, value=la))
+        df = spark.createDataFrame(rows)
+        out = raster.raster_to_h3(df, 6, operation="mean")
+        got = out.collect()
+        assert len(got) >= 1
+        # mean of lat values per cell is within the input lat range
+        for r in got:
+            assert 50.0 <= r.value <= 50.2
+
+    def test_h3_to_raster_roundtrip(self, spark):
+        from sparkh3 import dataframe as dfo
+
+        pts = spark.createDataFrame(
+            [Row(lat=50.0, lng=14.0, value=3.0), Row(lat=51.0, lng=15.0, value=5.0)]
+        )
+        cells = dfo.geo_to_h3(pts, 7).select("h3_07", "value")
+        ras = raster.h3_to_raster(cells, 0.5, h3_col="h3_07")
+        got = {(r.row, r.col): r.value for r in ras.collect()}
+        assert len(got) == 2
+        assert set(round(v, 6) for v in got.values()) == {3.0, 5.0}
+
+
+class TestCallableAggregate:
+    def test_apply_in_pandas(self, spark):
+        df = spark.createDataFrame(
+            [Row(k="a", v=1.0), Row(k="a", v=3.0), Row(k="b", v=10.0)]
+        )
+        out = grouped.apply_in_pandas_aggregate(
+            df, "k", ["v"], lambda s: s.max() - s.min()
+        )
+        got = {r.k: r.v for r in out.collect()}
+        assert got == {"a": 2.0, "b": 0.0}
+
+
+class TestStreaming:
+    def test_streaming_tile_ingest(self, spark, tmp_path):
+        from sparkh3.sources import manifest
+        from sparkh3.streaming import ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            Row(ts="2024-01-01 00:00:05", lat=50.0, lng=14.0),
+            Row(ts="2024-01-01 00:00:20", lat=50.0, lng=14.0),
+            Row(ts="2024-01-01 00:02:30", lat=51.0, lng=15.0),
+            Row(ts="2024-01-01 00:05:00", lat=0.0, lng=0.0),  # closes windows
+        ]
+        batch = spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        batch.write.parquet(str(src / "part1"))
+        stream = (
+            spark.readStream.schema(batch.schema).parquet(str(src / "part1"))
+        )
+        q = ingest.start_tile_ingest(
+            stream,
+            7,
+            str(tmp_path / "tbl"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        snap = manifest.load_snapshot(str(tmp_path / "tbl"))
+        out = manifest.read_table(spark, str(tmp_path / "tbl"))
+        got = {
+            (str(r.window_start), r.h3_07): r.n for r in out.collect()
+        }
+        # the first window (2 events, same cell) must be present & closed
+        assert any(n == 2 for n in got.values())
+        assert snap["total_rows"] >= 1
