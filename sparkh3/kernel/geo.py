@@ -322,20 +322,26 @@ def _tri_area_rads2(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def cell_area(h, unit: str = "km^2") -> np.ndarray:
-    """Cell area. Units: km^2, m^2, rads^2.
+    """Cell area. Units: km^2, m^2, rads^2. Fully vectorized: boundary
+    fan triangles computed as (N,6) batches (pentagons' duplicate vertex
+    contributes a degenerate zero-area triangle).
 
     Golden: 0.09937867173389912 km^2 for 891e3097383ffff
     (reference tests/test_h3pandas.py:443-448).
     """
     h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
-    bounds = cell_to_boundary(h)
-    clat, clng = cell_to_latlng(h)
-    cvec = proj.geo_to_vec3(np.radians(clat), np.radians(clng))
+    res_all = ix.get_resolution(h)
     out = np.empty(len(h), dtype=np.float64)
-    for i, b in enumerate(bounds):
-        bv = proj.geo_to_vec3(np.radians(b[:, 0]), np.radians(b[:, 1]))
-        nxt = np.roll(bv, -1, axis=0)
-        out[i] = _tri_area_rads2(bv, nxt, cvec[i][None, :].repeat(len(bv), 0)).sum()
+    clat, clng = cell_to_latlng(h)
+    cvec = proj.geo_to_vec3(np.radians(clat), np.radians(clng))  # (N,3)
+    for r in np.unique(res_all):
+        sel = np.where(res_all == r)[0]
+        verts = _boundary_verts_uniform(h[sel], int(r))  # (n,6,2)
+        bv = proj.geo_to_vec3(verts[..., 0], verts[..., 1])  # (n,6,3)
+        nxt = np.roll(bv, -1, axis=1)
+        c = cvec[sel][:, None, :]
+        tri = _tri_area_rads2(bv, nxt, np.broadcast_to(c, bv.shape))
+        out[sel] = tri.sum(axis=1)
     if unit == "rads^2":
         return out
     if unit == "km^2":
