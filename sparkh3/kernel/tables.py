@@ -117,9 +117,31 @@ def _geometric_tables() -> tuple[np.ndarray, np.ndarray]:
     return bc_table, rot_table
 
 
+_CACHE_FILE = __file__.replace("tables.py", "_tables_cache.npz")
+
+
 @lru_cache(maxsize=1)
 def face_ijk_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Final lookup tables: (bc_table, rot_table, pent_cw).
+    """Final lookup tables (bc_table, rot_table, pent_cw), loaded from the
+    checked-in cache when present (skips the ~0.6s geometric bootstrap on
+    every Spark python worker); regenerated and verified by
+    tests/test_tables_cache.py."""
+    import os
+
+    if os.path.exists(_CACHE_FILE):
+        z = np.load(_CACHE_FILE)
+        return z["bc"], z["rot"], z["cw"]
+    return _solve_tables()
+
+
+def write_tables_cache() -> None:
+    bc, rot, cw = _solve_tables()
+    np.savez_compressed(_CACHE_FILE, bc=bc, rot=rot, cw=cw)
+
+
+@lru_cache(maxsize=1)
+def _solve_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bootstrap: (bc_table, rot_table, pent_cw).
 
     bc_table/rot_table are (20,3,3,3); pent_cw is (122,20) bool marking
     the pentagon 'clockwise offset' faces. Hexagon entries come from the
