@@ -242,9 +242,10 @@ def latlng_to_cell(lat, lng, res: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _boundary_verts_uniform(hh: np.ndarray, res: int) -> np.ndarray:
-    """(N, 6, 2) boundary vertices in radians (lat, lng) for uniform-res
-    cells. Pentagons yield 6 rows of which two coincide."""
+def _boundary_verts_detail(hh: np.ndarray, res: int):
+    """Boundary vertex detail for uniform-res cells: (verts (N,6,2) rad,
+    vertex faces (N,6), pre-overage substrate ijk (N,6,3), center face
+    (N,), adj_res)."""
     face, ijk, _ = cell_to_faceijk(hh)
     pent = ix.is_pentagon(hh)
     # center -> substrate grid
@@ -256,9 +257,13 @@ def _boundary_verts_uniform(hh: np.ndarray, res: int) -> np.ndarray:
     verts = _VERTS_CIII if res % 2 else _VERTS_CII
     n = len(hh)
     out = np.empty((n, 6, 2), dtype=np.float64)
+    vfaces = np.empty((n, 6), dtype=np.int64)
+    vijk_pre = np.empty((n, 6, 3), dtype=np.int64)
+    vijk_post = np.empty((n, 6, 3), dtype=np.int64)
     adj_res_arr = np.full(n, adj_res, dtype=np.int64)
     for v in range(6):
         fv = IJK.normalize(center + verts[v])
+        vijk_pre[:, v, :] = fv
         fcur = face.copy()
         vcur = fv
         act = np.ones(n, dtype=bool)
@@ -274,31 +279,170 @@ def _boundary_verts_uniform(hh: np.ndarray, res: int) -> np.ndarray:
         )
         out[:, v, 0] = la
         out[:, v, 1] = lo
+        vfaces[:, v] = fcur
+        vijk_post[:, v, :] = vcur
+    return out, vfaces, vijk_pre, vijk_post, face, adj_res
+
+
+def _boundary_verts_uniform(hh: np.ndarray, res: int) -> np.ndarray:
+    """(N, 6, 2) boundary vertices in radians (lat, lng) for uniform-res
+    cells. Pentagons yield 6 rows of which two coincide."""
+    return _boundary_verts_detail(hh, res)[0]
+
+
+def _unfold_to_face(ijk_post: np.ndarray, from_face: int, to_face: int, adj_res: int):
+    """Substrate lattice coords on from_face -> to_face frame via the
+    face-neighbor transform (the canonical icosahedron unfold)."""
+    from .constants import FACE_NEIGHBORS, UNIT_SCALE_BY_CII_RES
+
+    adj = _adjacent_face_dir()
+    quad = int(adj[from_face, to_face])
+    if quad < 0:
+        return None
+    orient = FACE_NEIGHBORS[from_face, quad]
+    v = ijk_post[None, :].copy()
+    for _ in range(int(orient[4])):
+        v = IJK.rotate60ccw(v)
+    unit = int(UNIT_SCALE_BY_CII_RES[adj_res]) * 3
+    v = IJK.normalize(v + orient[1:4] * unit)
+    return v[0]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _adjacent_face_dir() -> np.ndarray:
+    """(20,20) quadrant (IJ/KI/JK) of face b as seen from face a; -1 if
+    not adjacent (derived from FACE_NEIGHBORS)."""
+    out = np.full((20, 20), -1, dtype=np.int64)
+    for f in range(20):
+        for quad in (1, 2, 3):
+            out[f, FACE_NEIGHBORS[f, quad, 0]] = quad
     return out
 
 
-def cell_to_boundary(h) -> list[np.ndarray]:
-    """Boundary vertices per cell as (n_verts, 2) arrays of (lat, lng) degrees.
+def _face_edge_2d(quad: int, max_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Endpoints (hex2d, substrate coords) of a face's icosahedron edge
+    for the given overage quadrant. Face corners in substrate hex2d:
+    I=(3m,0), J=(-1.5m, 3m*sin60), K=(-1.5m, -3m*sin60)."""
+    from .constants import M_SIN60
 
-    Class III cells crossing icosahedron edges canonically gain extra
-    distortion vertices; v1 emits the 6 (5 for pentagons) primary vertices.
+    m = float(max_dim)
+    corner_i = np.array([3.0 * m, 0.0])
+    corner_j = np.array([-1.5 * m, 3.0 * m * M_SIN60])
+    corner_k = np.array([-1.5 * m, -3.0 * m * M_SIN60])
+    from .constants import IJ_QUADRANT, JK_QUADRANT
+
+    if quad == IJ_QUADRANT:
+        return corner_i, corner_j
+    if quad == JK_QUADRANT:
+        return corner_j, corner_k
+    return corner_k, corner_i  # KI
+
+
+def _seg_intersect(p0, p1, e0, e1):
+    """Intersection of segment p0-p1 with line e0-e1 (2D), or None."""
+    d = p1 - p0
+    e = e1 - e0
+    den = d[0] * e[1] - d[1] * e[0]
+    if abs(den) < 1e-12:
+        return None
+    t = ((e0[0] - p0[0]) * e[1] - (e0[1] - p0[1]) * e[0]) / den
+    if t <= 1e-9 or t >= 1 - 1e-9:
+        return None
+    return p0 + t * d
+
+
+def cell_to_boundary(h) -> list[np.ndarray]:
+    """Boundary vertices per cell as (n_verts, 2) arrays of (lat, lng)
+    degrees, including the Class III "distortion vertices" where a cell
+    edge crosses an icosahedron edge (public spec behavior).
+
     Goldens: reference tests/test_h3pandas.py:147-165.
     """
     h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
     res_all = ix.get_resolution(h)
     out: list[np.ndarray | None] = [None] * len(h)
+    adj_dir = _adjacent_face_dir()
     for r in np.unique(res_all):
         sel = np.where(res_all == r)[0]
         hh = h[sel]
+        res = int(r)
         pent = ix.is_pentagon(hh)
-        vv = _boundary_verts_uniform(hh, int(r))
+        vv, vfaces, vijk, vijk_post, center_face, adj_res = _boundary_verts_detail(
+            hh, res
+        )
+        class3 = res % 2 == 1
+        max_dim = int(MAX_DIM_BY_CII_RES[adj_res])
         for row, gi in enumerate(sel):
             pts = vv[row]
+            if class3 and len(set(vfaces[row].tolist())) > 1 and not pent[row]:
+                # insert icosahedron-edge intersection points between
+                # consecutive vertices that straddle faces
+                pre2d = IJK.ijk_to_hex2d(vijk[row])  # pre-overage, center face
+                pieces: list[np.ndarray] = []
+                for v in range(6):
+                    nxt = (v + 1) % 6
+                    pieces.append(pts[v])
+                    fa, fb = vfaces[row][v], vfaces[row][nxt]
+                    if fa == fb:
+                        continue
+                    # the crossed edge: quadrant of the off-center face
+                    cf = center_face[row]
+                    other = fb if fb != cf else fa
+                    quad = adj_dir[cf, other]
+                    if quad < 0:
+                        continue
+                    e0, e1 = _face_edge_2d(int(quad), max_dim)
+                    inter = _seg_intersect(pre2d[v], pre2d[nxt], e0, e1)
+                    if inter is None:
+                        continue
+                    la, lo = proj.hex2d_to_geo(
+                        inter[None, :], np.array([cf]), res=adj_res, substrate=True
+                    )
+                    pieces.append(np.array([la[0], lo[0]]))
+                pts = np.stack(pieces)
             if pent[row]:
                 _, uniq_idx = np.unique(pts.round(12), axis=0, return_index=True)
-                pts = pts[np.sort(uniq_idx)]
+                keep = np.sort(uniq_idx)
+                pts = pts[keep]
+                if class3:
+                    pts = _pent_distortion(
+                        pts, vfaces[row][keep], vijk_post[row][keep], adj_res, adj_dir
+                    )
             out[gi] = np.degrees(pts)
     return out  # type: ignore[return-value]
+
+
+def _pent_distortion(pts, faces, post_ijk, adj_res, adj_dir):
+    """Insert icosahedron-edge crossing vertices for Class III pentagon
+    boundaries. Every pentagon edge spans two faces; the edge's two
+    endpoints are projected into the first endpoint's face frame
+    (gnomonic: straight lines there ARE the great-circle cell edges, so
+    the crossing matches the hexagon neighbors' distortion vertices and
+    the tiling closes)."""
+    n = len(pts)
+    max_dim = int(MAX_DIM_BY_CII_RES[adj_res])
+    pieces = []
+    for v in range(n):
+        prev = (v - 1) % n
+        fa, fb = int(faces[prev]), int(faces[v])
+        if fa != fb:
+            quad_ab = int(adj_dir[fa, fb])
+            cur_in_fa = _unfold_to_face(post_ijk[v], fb, fa, adj_res)
+            if quad_ab >= 0 and cur_in_fa is not None:
+                p0 = IJK.ijk_to_hex2d(post_ijk[prev][None, :])[0]
+                p1 = IJK.ijk_to_hex2d(cur_in_fa[None, :])[0]
+                e0, e1 = _face_edge_2d(quad_ab, max_dim)
+                inter = _seg_intersect(p0, p1, e0, e1)
+                if inter is not None:
+                    la, lo = proj.hex2d_to_geo(
+                        inter[None, :], np.array([fa]), res=adj_res, substrate=True
+                    )
+                    pieces.append(np.array([la[0], lo[0]]))
+        pieces.append(pts[v])
+    return np.stack(pieces)
 
 
 def _tri_area_rads2(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -330,18 +474,23 @@ def cell_area(h, unit: str = "km^2") -> np.ndarray:
     (reference tests/test_h3pandas.py:443-448).
     """
     h = np.atleast_1d(np.asarray(h, dtype=np.uint64))
-    res_all = ix.get_resolution(h)
     out = np.empty(len(h), dtype=np.float64)
     clat, clng = cell_to_latlng(h)
     cvec = proj.geo_to_vec3(np.radians(clat), np.radians(clng))  # (N,3)
-    for r in np.unique(res_all):
-        sel = np.where(res_all == r)[0]
-        verts = _boundary_verts_uniform(h[sel], int(r))  # (n,6,2)
-        bv = proj.geo_to_vec3(verts[..., 0], verts[..., 1])  # (n,6,3)
-        nxt = np.roll(bv, -1, axis=1)
-        c = cvec[sel][:, None, :]
-        tri = _tri_area_rads2(bv, nxt, np.broadcast_to(c, bv.shape))
-        out[sel] = tri.sum(axis=1)
+    bounds = cell_to_boundary(h)
+    # pad ragged boundaries (distortion vertices) with their last vertex:
+    # degenerate fan triangles contribute zero area, keeping it batched
+    nv = np.array([len(b) for b in bounds])
+    max_v = int(nv.max())
+    verts = np.empty((len(h), max_v, 2), dtype=np.float64)
+    for i, b in enumerate(bounds):
+        verts[i, : len(b)] = np.radians(b)
+        verts[i, len(b):] = np.radians(b[-1])
+    bv = proj.geo_to_vec3(verts[..., 0], verts[..., 1])  # (n,V,3)
+    nxt = np.roll(bv, -1, axis=1)
+    # fix the wrap for padded rows: last real vertex connects to vertex 0
+    tri = _tri_area_rads2(bv, nxt, np.broadcast_to(cvec[:, None, :], bv.shape))
+    out = tri.sum(axis=1)
     if unit == "rads^2":
         return out
     if unit == "km^2":

@@ -119,6 +119,15 @@ class TestFullSphereRoundtrip:
             back = geo.latlng_to_cell(la, lo, res)
             assert int((back != c).sum()) == 0
 
+    def test_sphere_area_closure(self):
+        # boundaries (incl. Class III distortion vertices and pentagon
+        # crossings) tile the sphere exactly: areas sum to 4*pi
+        bases = np.arange(122, dtype=np.uint64)
+        cells0 = ix.build_cell(bases, 0, np.full((122, 15), 7, dtype=np.int64))
+        cells = ix.cell_to_children(cells0, 1)
+        total = geo.cell_area(cells, "rads^2").sum()
+        assert abs(total / (4 * np.pi) - 1.0) < 1e-12
+
     def test_parent_consistency(self):
         # H3 hexagons do not nest geometrically, so parent(cell(p,9),5) may
         # differ from cell(p,5) for points near res-5 edges — but only for
