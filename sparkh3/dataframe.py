@@ -59,15 +59,31 @@ def geo_to_h3(
     resolution: int,
     lat_col: str = "lat",
     lng_col: str = "lng",
+    geometry_col: str | None = None,
 ) -> DataFrame:
     """Add H3 address column ``h3_{res:02d}`` from point coordinates.
 
     Reference: h3pandas.py:31-103 (op 1). Narrow map — no shuffle.
+    ``geometry_col`` accepts a point struct<lat,lng>; non-point geometry
+    raises ValueError (parity: reference tests/test_h3pandas.py:133-135).
     """
+    if geometry_col is not None:
+        dt = dict(df.dtypes).get(geometry_col, "")
+        if "array" in dt:
+            raise ValueError(
+                "Only Point geometries are supported for geo_to_h3"
+            )
+        df = df.withColumn("_lat", F.col(f"{geometry_col}.lat")).withColumn(
+            "_lng", F.col(f"{geometry_col}.lng")
+        )
+        lat_col, lng_col = "_lat", "_lng"
     col = _format_resolution(resolution)
-    return df.withColumn(
+    out = df.withColumn(
         col, H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
     )
+    if geometry_col is not None:
+        out = out.drop("_lat", "_lng")
+    return out
 
 
 def h3_to_geo(df: DataFrame, h3_col: str | None = None) -> DataFrame:

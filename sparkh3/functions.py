@@ -83,14 +83,14 @@ def h3_center_child_int(v: Column, res: int) -> Column:
 
     Clears digits between the current res and `res`, then sets res bits.
     """
-    cur_res = F.shiftrightunsigned(v, 52).bitwiseAND(F.lit(15))
-    # bits currently filled with 7s: 3*(15-cur_res) low bits
-    clear_mask = F.expr(
-        f"shiftleft(1L, cast(3 * (15 - (shiftrightunsigned({_sql(v)}, 52) & 15)) as int)) - 1"
+    # clear bits currently filled with 7s: 3*(15-cur_res) low bits
+    inv_clear = F.expr(
+        "~(shiftleft(1L, cast(3 * (15 - (shiftrightunsigned("
+        f"{_sql(v)}, 52) & 15)) as int)) - 1)"
     )
     keep_fill = F.lit((1 << (3 * (15 - res))) - 1)
     return (
-        v.bitwiseAND(~clear_mask)
+        v.bitwiseAND(inv_clear)
         .bitwiseAND(F.lit(~(15 << 52)))
         .bitwiseOR(F.lit(res << 52))
         .bitwiseOR(keep_fill)

@@ -105,6 +105,41 @@ class TestBitOps:
             "891e2659c2fffff": "8a1e2659c2c7fff",
         }
 
+    def test_center_child_explicit_res(self, spark):
+        df = spark.createDataFrame([Row(h3_09="891e3097383ffff")])
+        got = dfo.h3_to_center_child(df, 12).collect()[0].h3_center_child
+        assert got == "8c1e309738001ff"
+
+    def test_geo_to_h3_geometry_struct(self, spark):
+        df = spark.createDataFrame([Row(geometry=Row(lat=50.0, lng=14.0))])
+        got = dfo.geo_to_h3(df, 9, geometry_col="geometry").collect()
+        assert got[0].h3_09 == "891e3097383ffff"
+
+    def test_geo_to_h3_polygon_raises(self, spark):
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        poly_t = ArrayType(
+            ArrayType(
+                StructType(
+                    [
+                        StructField("lng", DoubleType()),
+                        StructField("lat", DoubleType()),
+                    ]
+                )
+            )
+        )
+        df = spark.createDataFrame(
+            [([[{"lng": 0.0, "lat": 0.0}]],)],
+            StructType([StructField("geometry", poly_t)]),
+        )
+        with pytest.raises(ValueError, match="Point"):
+            dfo.geo_to_h3(df, 9, geometry_col="geometry")
+
     def test_is_valid(self, spark):
         df = spark.createDataFrame(
             [Row(h3_09="891e3097383ffff"), Row(h3_09="invalid")]
