@@ -74,6 +74,10 @@ def pip_join(
     poly_cells = poly_cells.withColumn("_cell", F.explode("_cells")).drop(
         "_cells", geometry_col
     )
+    # materialize the cover once: broadcast construction over a plan that
+    # still contains the Python UDF re-evaluates it (measured ~5x cost)
+    poly_cells = poly_cells.persist()
+    poly_cells.count()
     if broadcast:
         poly_cells = F.broadcast(poly_cells)
     pts = points.withColumn(
