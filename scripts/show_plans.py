@@ -1,0 +1,69 @@
+"""Print the physical-plan evidence behind the BENCH/BASELINE.md §4
+claims: no Python nodes in bit-math rollups, parquet pushdown/pruning
+through H3 projections, broadcast PIP joins.
+
+Usage: python scripts/show_plans.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+    from sparkh3 import dataframe as dfo
+    from sparkh3.operators import joins
+
+    sf = "/root/testdata/sf0.001"
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li.createOrReplaceTempView("_li")
+    cells = spark.sql(
+        f"SELECT lower(hex({E._synth_cell_sql('l_orderkey')})) AS h3_09, "
+        "l_quantity FROM _li"
+    )
+    rolled = dfo.h3_to_parent_aggregate(
+        cells, 5, operation={"l_quantity": "sum"}, h3_col="h3_09",
+        return_geometry=False,
+    )
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    print("== parent rollup (native bit math) ==")
+    print("  Python eval nodes:", "ArrowEval" in plan or "BatchEval" in plan)
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    g = dfo.geo_to_h3(
+        ev.withColumn("lat", F.lit(1.0)).withColumn("lng", F.lit(2.0)), 7
+    )
+    q = g.filter(F.col("event_type") == "click").select("h3_07", "event_type")
+    ex = q._jdf.queryExecution().executedPlan().toString()
+    print("== pushdown through geo_to_h3 ==")
+    for pat in (r"PushedFilters: \[[^\]]*\]", r"ReadSchema: [^\n]*"):
+        m = re.search(pat, ex)
+        print(" ", (m.group(0)[:120] if m else "none"))
+
+    pts = spark.createDataFrame([(1, 40.0, -74.0)], ["id", "lat", "lng"])
+    pj = joins.pip_join(pts, E._rect_polys(spark), 4)
+    pp = pj._jdf.queryExecution().executedPlan().toString()
+    print("== pip_join strategy ==")
+    print("  BroadcastHashJoin:", "BroadcastHashJoin" in pp)
+    print("  SortMergeJoin:", "SortMergeJoin" in pp)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

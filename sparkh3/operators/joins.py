@@ -122,6 +122,11 @@ def knn_join(
     stragglers fall back to a brute-force cross join — so results are
     exact for every density regime while dense regions never scan beyond
     a few rings. Deterministic tie-break: (dist_km, point_id) ascending.
+
+    The per-round satisfied-query set is collected to the driver (an id
+    list, not data rows) — the query side is the small side of a kNN by
+    construction. For query sets beyond ~1M ids per round, swap the
+    isin() pruning for the broadcast-join variant.
     """
     from . import udfs
 
