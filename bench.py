@@ -291,7 +291,7 @@ def main() -> None:
         # is min-of-2; N=2 vs 4N=8 because >=16 local threads hit the
         # sandbox's syscall/IO pathologies (measured in BENCH/BASELINE.md),
         # which a real multi-executor cluster does not share.
-        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "256"))
+        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "160"))
         lo, hi = (
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALING_THREADS", "2,8").split(",")
