@@ -290,8 +290,14 @@ def _boundary_verts_uniform(hh: np.ndarray, res: int) -> np.ndarray:
     return _boundary_verts_detail(hh, res)[0]
 
 
-def _unfold_to_face(ijk_post: np.ndarray, from_face: int, to_face: int, adj_res: int):
-    """Substrate lattice coords on from_face -> to_face frame via the
+def _unfold_to_face(
+    ijk_post: np.ndarray,
+    from_face: int,
+    to_face: int,
+    adj_res: int,
+    substrate: bool = True,
+):
+    """Class II lattice coords on from_face -> to_face frame via the
     face-neighbor transform (the canonical icosahedron unfold)."""
     from .constants import FACE_NEIGHBORS, UNIT_SCALE_BY_CII_RES
 
@@ -303,9 +309,60 @@ def _unfold_to_face(ijk_post: np.ndarray, from_face: int, to_face: int, adj_res:
     v = ijk_post[None, :].copy()
     for _ in range(int(orient[4])):
         v = IJK.rotate60ccw(v)
-    unit = int(UNIT_SCALE_BY_CII_RES[adj_res]) * 3
+    unit = int(UNIT_SCALE_BY_CII_RES[adj_res]) * (3 if substrate else 1)
     v = IJK.normalize(v + orient[1:4] * unit)
     return v[0]
+
+
+def cell_to_local_ijk(cell: int, frame_face: int):
+    """Cell's lattice coords in `frame_face`'s coordinate system (the
+    canonical unfold when the cell sits on an adjacent face). Returns
+    None when no clean unfold exists (non-adjacent faces). Class III
+    cells go through the aperture-7r substrate (clean integer map)."""
+    arr = np.array([cell], dtype=np.uint64)
+    face, ijk, res = cell_to_faceijk(arr)
+    f, v, r = int(face[0]), ijk[0], int(res[0])
+    cls3 = r % 2 == 1
+    if cls3:
+        v = IJK.down_ap7r(v[None, :])[0]
+        adj_res = r + 1
+    else:
+        adj_res = r
+    if f != frame_face:
+        v = _unfold_to_face(v, f, frame_face, adj_res, substrate=False)
+        if v is None:
+            return None
+    if cls3:
+        v = IJK.up_ap7r(v[None, :])[0]
+    return v
+
+
+def local_ijk_to_cell(ijk: np.ndarray, frame_face: int, res: int):
+    """Inverse of cell_to_local_ijk: lattice coords in `frame_face`'s
+    frame -> cell id. Off-face coords walk the overage transform to the
+    owning face (exact integer map), then snap on-face."""
+    v = ijk[None, :].astype(np.int64)
+    cls3 = res % 2 == 1
+    if cls3:
+        v = IJK.down_ap7r(v)
+        adj_res = res + 1
+    else:
+        adj_res = res
+    face = np.array([frame_face], dtype=np.int64)
+    adj_arr = np.array([adj_res], dtype=np.int64)
+    act = np.ones(1, dtype=bool)
+    for _ in range(4):
+        code, face, v = _adjust_overage_class2(
+            face, v, adj_arr, np.zeros(1, bool), substrate=False, active=act
+        )
+        if code[0] != _NEW_FACE:
+            break
+    if cls3:
+        v = IJK.up_ap7r(v)
+    la, lo = proj.hex2d_to_geo(IJK.ijk_to_hex2d(v), face, res=res, substrate=False)
+    from .tables import face_ijk_tables
+
+    return _latlng_to_cell_impl(la, lo, res, face_ijk_tables())[0]
 
 
 from functools import lru_cache

@@ -161,11 +161,19 @@ def grid_path(a: int, b: int) -> np.ndarray:
 
     bc_a = int(ix.get_base_cell(np.array([a], dtype=np.uint64))[0])
     f = BASE_CELL_DATA[bc_a, 0]
-    lat, lng = geo.cell_to_latlng(np.array([a, b], dtype=np.uint64))
-    pts = proj.geo_to_hex2d_on_face(
-        np.radians(lat), np.radians(lng), np.full(2, f), res
-    )
-    ijk2 = IJK.hex2d_to_ijk(pts)
+    # exact lattice coords via the face unfold when available (canonical
+    # rounding frame); gnomonic projection as the long-range fallback
+    va = geo.cell_to_local_ijk(int(a), int(f))
+    vb = geo.cell_to_local_ijk(int(b), int(f))
+    unfolded = va is not None and vb is not None
+    if unfolded:
+        ijk2 = np.stack([va, vb])
+    else:
+        lat, lng = geo.cell_to_latlng(np.array([a, b], dtype=np.uint64))
+        pts = proj.geo_to_hex2d_on_face(
+            np.radians(lat), np.radians(lng), np.full(2, f), res
+        )
+        ijk2 = IJK.hex2d_to_ijk(pts)
     cube = IJK.ijk_to_cube(ijk2).astype(np.float64)
     n = int(IJK.ijk_distance(ijk2[0], ijk2[1]))
     if n == 0:
@@ -173,10 +181,18 @@ def grid_path(a: int, b: int) -> np.ndarray:
     t = np.linspace(0.0, 1.0, n + 1)[:, None]
     interp = cube[0][None, :] * (1 - t) + cube[1][None, :] * t
     cells_ijk = IJK.cube_to_ijk(IJK.cube_round(interp))
-    # snap each lattice point back through geo to get exact cell ids
-    xy = IJK.ijk_to_hex2d(cells_ijk)
-    plat, plng = proj.hex2d_to_geo(xy, np.full(len(xy), f), res, substrate=False)
-    out = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res)
+    if unfolded:
+        # exact integer path: each lattice point maps through the
+        # overage transform to its owning face
+        out = np.array(
+            [geo.local_ijk_to_cell(cells_ijk[i], int(f), res) for i in range(len(cells_ijk))],
+            dtype=np.uint64,
+        )
+    else:
+        # long-range fallback: snap via the gnomonic extension
+        xy = IJK.ijk_to_hex2d(cells_ijk)
+        plat, plng = proj.hex2d_to_geo(xy, np.full(len(xy), f), res, substrate=False)
+        out = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res)
     out[0] = a
     out[-1] = b
     # sequential dedup (snapping may repeat a cell)
