@@ -493,10 +493,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spans_stats": (
             f"WITH d AS ({spans_cte}) "
-            "SELECT lang, count(*) AS n_docs, sum(len(spans)) AS total_spans, "
-            "sum(len(list_filter(spans, s -> s.kind = 'media'))) AS total_media, "
-            "sum(list_sum(list_transform(list_filter(spans, s -> s.kind = 'text'), "
-            "s -> length(s.text)))) AS total_text_len "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(spans)) AS BIGINT) AS total_spans, "
+            "CAST(sum(len(list_filter(spans, s -> s.kind = 'media'))) AS BIGINT) "
+            "AS total_media, "
+            "CAST(sum(list_sum(list_transform(list_filter(spans, s -> s.kind = 'text'), "
+            "s -> length(s.text)))) AS BIGINT) AS total_text_len "
             "FROM d GROUP BY lang"
         ),
         "extract_geometry_grid": (

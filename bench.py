@@ -297,10 +297,16 @@ def main() -> None:
             for x in os.environ.get("SPARK_GRAFT_SCALING_THREADS", "2,8").split(",")
         )
         runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
-        t_hi = min(run_scaling_leg(hi, SF_DIR, amp)[1] for _ in range(runs))
-        legs = [run_scaling_leg(lo, SF_DIR, amp) for _ in range(max(runs - 1, 1))]
-        rows_w = legs[0][0]
-        t_lo = min(t for _, t in legs)
+        # symmetric sampling: BOTH legs are min-of-`runs`, interleaved so
+        # slow-host drift hits both legs equally
+        hi_times: list[float] = []
+        lo_legs: list[tuple[int, float]] = []
+        for _ in range(runs):
+            hi_times.append(run_scaling_leg(hi, SF_DIR, amp)[1])
+            lo_legs.append(run_scaling_leg(lo, SF_DIR, amp))
+        t_hi = min(hi_times)
+        rows_w = lo_legs[0][0]
+        t_lo = min(t for _, t in lo_legs)
         eff = (t_lo / t_hi) / (hi / lo)
         result["scaling"] = {
             "workload_rows": rows_w,

@@ -44,14 +44,24 @@ def _agg_exprs(df: DataFrame, key: str, operation, skip=()) -> list[Column]:
         "last": F.last,
     }
     cols = [c for c in df.columns if c != key and c not in skip]
-    if callable(operation) and not isinstance(operation, str):
-        raise NotImplementedError(
-            "callable aggregations: use applyInPandas via "
-            "sparkh3.operators.grouped.apply_in_pandas_aggregate"
-        )
     if isinstance(operation, dict):
         return [ops[op](c).alias(c) for c, op in operation.items()]
     return [ops[operation](c).alias(c) for c in cols]
+
+
+def _grouped_agg(df: DataFrame, key: str, operation) -> DataFrame:
+    """groupBy(key).agg(operation) with the reference's full `operation`
+    surface (str | dict | Callable, h3pandas.py:453,496-497): strings and
+    dicts compile to native Spark aggregates (partial+final map-side
+    combine); an arbitrary Python callable routes to an applyInPandas
+    grouped map (sparkh3.operators.grouped) — the Spark shape for custom
+    aggregates built-ins can't express."""
+    if callable(operation) and not isinstance(operation, str):
+        from .operators.grouped import apply_in_pandas_aggregate
+
+        value_cols = [c for c in df.columns if c != key]
+        return apply_in_pandas_aggregate(df, key, value_cols, operation)
+    return df.groupBy(key).agg(*_agg_exprs(df, key, operation))
 
 
 def geo_to_h3(
@@ -260,7 +270,7 @@ def geo_to_h3_aggregate(
     out = geo_to_h3(df, resolution, lat_col, lng_col).drop(
         lat_col, lng_col, *GEOMETRY_COLS
     )
-    out = out.groupBy(key).agg(*_agg_exprs(out, key, operation))
+    out = _grouped_agg(out, key, operation)
     if return_geometry:
         out = h3_to_geo_boundary(out, key)
     return out
@@ -279,7 +289,7 @@ def h3_to_parent_aggregate(
     out = df.withColumn(parent_col, H3F.h3_parent(key, resolution)).drop(
         key, *GEOMETRY_COLS
     )
-    out = out.groupBy(parent_col).agg(*_agg_exprs(out, parent_col, operation))
+    out = _grouped_agg(out, parent_col, operation)
     if return_geometry:
         out = h3_to_geo_boundary(out, parent_col)
     return out

@@ -62,45 +62,60 @@ def pip_join(
     broadcast: bool = True,
 ) -> DataFrame:
     """Exact point-in-polygon join. Returns points columns + all polygon
-    columns except its geometry."""
+    columns except its geometry.
+
+    Scale shape: NOTHING about the polygon side is collected to the
+    driver. Cover cells join candidates on the H3 cell; the exact
+    ray-cast refinement joins the geometry back by the polygon key —
+    only candidate rows ever carry geometry. With ``broadcast=True``
+    (default: small dim side) both joins are BroadcastHashJoin and the
+    point side never shuffles; with ``broadcast=False`` the same plan
+    runs as shuffle joins, so arbitrarily large polygon sides work.
+    The polygon key (first non-geometry column) must be unique — a
+    duplicate key would mis-multiply candidates, so we validate it.
+    """
     from . import udfs
 
+    poly_key = [c for c in polygons.columns if c != geometry_col][0]
+    stats = polygons.agg(
+        F.count("*").alias("n"), F.countDistinct(poly_key).alias("nd")
+    ).first()
+    if stats["n"] != stats["nd"]:
+        raise ValueError(
+            f"pip_join: polygon key column '{poly_key}' must be unique "
+            f"({stats['n']} rows, {stats['nd']} distinct keys)"
+        )
     cover = udfs.polyfill_cover_udf(resolution)
-    # spread the (small) polygon side so each cover computation gets its
+    # spread the polygon side by key so each cover computation gets its
     # own task — the UDF cost is per-polygon, not per-row-count
-    n_poly = polygons.count()
-    spread = polygons.repartition(max(min(n_poly, 256), 1))
-    poly_cells = spread.withColumn("_cells", cover(F.col(geometry_col)))
-    poly_cells = poly_cells.withColumn("_cell", F.explode("_cells")).drop(
-        "_cells", geometry_col
+    spread = polygons.repartition(F.col(poly_key))
+    poly_cells = spread.withColumn("_cells", cover(F.col(geometry_col))).select(
+        *[c for c in polygons.columns if c != geometry_col],
+        F.explode("_cells").alias("_cell"),
     )
     # materialize the cover once: broadcast construction over a plan that
     # still contains the Python UDF re-evaluates it (measured ~5x cost)
     poly_cells = poly_cells.persist()
     poly_cells.count()
+    poly_geom = polygons.select(poly_key, geometry_col)
     if broadcast:
         poly_cells = F.broadcast(poly_cells)
+        poly_geom = F.broadcast(poly_geom)
     pts = points.withColumn(
         "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
     )
     cand = pts.join(poly_cells, "_cell", "inner")
-    # exact refinement: polygon geometries ship in the UDF closure (the
-    # polygon side is the broadcastable small side by construction), so
-    # candidates carry only the poly key and the ray cast runs fully
-    # vectorized per polygon group.
-    poly_key = [c for c in polygons.columns if c != geometry_col][0]
-    geo_map = {
-        r[poly_key]: [
-            [(p["lat"], p["lng"]) for p in ring] for ring in r[geometry_col]
-        ]
-        for r in polygons.select(poly_key, geometry_col).collect()
-    }
+    # exact refinement: geometry attaches to candidate rows only (second
+    # broadcast join by key — the cover table never duplicates geometry),
+    # and the even-odd ray cast runs vectorized per polygon group inside
+    # each Arrow batch.
+    cand = cand.join(poly_geom, poly_key)
     refined = cand.filter(
-        udfs.point_in_keyed_polygon_udf(geo_map)(
-            F.col(lat_col), F.col(lng_col), F.col(poly_key)
+        udfs.point_in_polygon_udf()(
+            F.col(lat_col), F.col(lng_col), F.col(geometry_col)
         )
     )
-    return refined.drop("_cell")
+    return refined.drop("_cell", geometry_col)
 
 
 def knn_join(
@@ -123,10 +138,10 @@ def knn_join(
     exact for every density regime while dense regions never scan beyond
     a few rings. Deterministic tie-break: (dist_km, point_id) ascending.
 
-    The per-round satisfied-query set is collected to the driver (an id
-    list, not data rows) — the query side is the small side of a kNN by
-    construction. For query sets beyond ~1M ids per round, swap the
-    isin() pruning for the broadcast-join variant.
+    The per-round satisfied-query set stays a DataFrame: completion is
+    a broadcast semi-join (keep done rows) + anti-join (prune remaining
+    queries) — no id list ever reaches the driver, so query sets of any
+    size work. Only scalar counts cross to the driver (loop control).
     """
     from . import udfs
 
@@ -164,6 +179,16 @@ def knn_join(
     n_remaining = q_all.count()
     done_parts: list[DataFrame] = []
     res_cur = resolution
+    if n_remaining == 0:
+        empty = topk_of(q_all.limit(0).crossJoin(pts.limit(0))).drop(
+            "_cell0", "_qcell0"
+        )
+        return empty.select(
+            F.col("_qid").alias(query_id),
+            F.col("_pid").alias(point_id),
+            F.col("_dist").alias("dist_km"),
+            F.col("_rank").alias("rank"),
+        )
     while n_remaining > 0:
         if res_cur <= 0:
             # brute force the stragglers (few by construction)
@@ -194,22 +219,26 @@ def knn_join(
                 F.count("*").alias("_n"), F.max("_dist").alias("_kth")
             )
             # any point outside ring r is at haversine >= (r-1)*w_min
-            safe_rows = per_q.filter(
-                (F.col("_n") >= k)
-                & (F.col("_kth") <= F.lit(max(r - 1, 1) * w_min))
-            ).select("_qid").collect()
-            safe_ids = [row["_qid"] for row in safe_rows]
-            if safe_ids:
+            safe = (
+                per_q.filter(
+                    (F.col("_n") >= k)
+                    & (F.col("_kth") <= F.lit(max(r - 1, 1) * w_min))
+                )
+                .select("_qid")
+                .persist()
+            )
+            n_safe = safe.count()
+            if n_safe:
                 done = (
-                    topk.filter(F.col("_qid").isin(safe_ids))
+                    topk.join(F.broadcast(safe), "_qid", "semi")
                     .drop("_cell", "_cell0", "_qcell", "_qcell0")
                     .persist()
                 )
                 done.count()
                 done_parts.append(done)
-                remaining = remaining.filter(~F.col("_qid").isin(safe_ids))
-                rem = rem.filter(~F.col("_qid").isin(safe_ids))
-                n_remaining -= len(safe_ids)
+                remaining = remaining.join(F.broadcast(safe), "_qid", "anti")
+                rem = rem.join(F.broadcast(safe), "_qid", "anti")
+                n_remaining -= n_safe
             topk.unpersist()
             if n_remaining == 0:
                 break

@@ -10,14 +10,29 @@ engine, verified by property tests instead of a SQL oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_M64 = (1 << 64) - 1
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
     "data": ["data", "table", "row", "column", "key"],
     "query": ["query", "join", "filter", "sort", "group"],
 }
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen narrow scans (e.g. a single parquet file) so per-doc compute
+    runs at full parallelism. No-op when the input is already wide — at
+    cluster scale the scan arrives pre-partitioned and this never fires."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def tokens(text: Column) -> Column:
@@ -104,18 +119,69 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.xxhash64(F.col(text_col)))
 
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (public splitmix64 constants) — seeds the
+    MinHash permutation coefficients without RNG state."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def _minhash_coeffs(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    a = np.array(
+        [_splitmix64(2 * j + 1) | 1 for j in range(n_hashes)], dtype=np.uint64
+    )
+    b = np.array([_splitmix64(2 * j + 2) for j in range(n_hashes)], dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(n_hashes: int = 16):
+    """array<long> base shingle hashes -> array<long> MinHash signature.
+
+    One Arrow batch of NumPy arithmetic: sig[j] = min over shingles of
+    ((a_j * h + b_j) mod 2^64) >> 1. Replaces n_hashes interpreted
+    Catalyst HOF passes (each re-hashing every shingle string) with one
+    vectorized pass — the base hashes are computed once, JVM-side, via
+    native xxhash64.
+    """
+    A, B = _minhash_coeffs(n_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(hashes: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(h, dtype=np.int64)
+            if h is not None and len(h) > 0
+            else None
+            for h in hashes
+        ]
+        res: list = [None] * len(arrs)
+        valid = [a for a in arrs if a is not None]
+        if valid:
+            flat = np.concatenate(valid).view(np.uint64)
+            vlens = np.array([len(a) for a in valid], dtype=np.int64)
+            starts = np.zeros(len(valid), dtype=np.int64)
+            starts[1:] = np.cumsum(vlens)[:-1]
+            sig = np.empty((len(valid), n_hashes), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(n_hashes):
+                    hv = (A[j] * flat + B[j]) >> np.uint64(1)
+                    sig[:, j] = np.minimum.reduceat(hv, starts).astype(np.int64)
+            vi = 0
+            for i, a in enumerate(arrs):
+                if a is not None:
+                    res[i] = sig[vi].tolist()
+                    vi += 1
+        return pd.Series(res)
+
+    return f
+
+
 def minhash_signature(text: Column, n_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature: per hash j, min over shingles of
-    xxhash64(shingle, seed=j). Native higher-order functions, no UDF."""
-    sh = ngrams(text, shingle_n)
-
-    def _hash_for(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    mins = [
-        F.array_min(F.transform(sh, _hash_for(j))) for j in range(n_hashes)
-    ]
-    return F.array(*mins)
+    """Base shingle hashes for the MinHash signature: ONE native xxhash64
+    pass over the shingles (JVM codegen); feed through
+    ``minhash_signature_udf`` for the permuted mins."""
+    return F.transform(ngrams(text, shingle_n), lambda s: F.xxhash64(s))
 
 
 def minhash_lsh_dedup(
@@ -130,58 +196,61 @@ def minhash_lsh_dedup(
     """Near-duplicate pairs via MinHash banding + exact n-gram Jaccard
     verification. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale shape: signature is a narrow map; banding explodes to
-    `bands` rows/doc; the candidate self-join shuffles only on band
-    buckets (hot buckets are bounded by band width); verification is a
-    set-intersection on the joined pair only.
+    Scale shape (100 TB): the signature is built from ONE native
+    xxhash64 pass over the shingles plus one Arrow pandas-UDF pass of
+    NumPy arithmetic (no interpreted HOF chains); only ``(_id, _bucket)``
+    rides the banding explode and the bucket self-join — document text
+    NEVER enters the shuffle. The verified candidate set is tiny by
+    construction, so the text re-join for exact Jaccard broadcasts the
+    pair list into the documents scan (AQE picks BroadcastHashJoin).
     """
     rows_per_band = n_hashes // bands
-
-    def _hash_for(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    # materialize shingles once; the 16 per-seed mins reference the column
-    # (vs inlining the split/slice chain 16x into each array_min)
-    base = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn("_shingles", ngrams(F.col("_text"), shingle_n))
-        .withColumn(
-            "_sig",
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("_shingles"), _hash_for(j)))
-                    for j in range(n_hashes)
-                ]
-            ),
-        )
-        .drop("_shingles")
-    )
-    banded = base.withColumn(
-        "_band", F.explode(F.array(*[F.lit(b) for b in range(bands)]))
-    ).withColumn(
-        "_bucket",
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.col("_band"),
-                *[
-                    F.element_at(F.col("_sig"), F.col("_band") * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
-            )
+    sig_udf = minhash_signature_udf(n_hashes)
+    df = _spread(df)
+    # one JVM xxhash64 pass over shingles -> one Arrow NumPy pass for the
+    # n_hashes permuted mins; slim (_id, _sig) is all that gets banded
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        sig_udf(minhash_signature(F.col(text_col), n_hashes, shingle_n)).alias(
+            "_sig"
         ),
     )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_text").alias("_ta"), "_bucket"
+    banded = (
+        base.withColumn(
+            "_band", F.explode(F.array(*[F.lit(b) for b in range(bands)]))
+        )
+        .withColumn(
+            "_bucket",
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.col("_band"),
+                    *[
+                        F.element_at(
+                            F.col("_sig"), F.col("_band") * rows_per_band + i + 1
+                        )
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ),
+        )
+        .select("_id", "_bucket")
     )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_text").alias("_tb"), "_bucket"
-    )
+    a = banded.select(F.col("_id").alias("id_a"), "_bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "_bucket")
     pairs = (
         a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ta", "_tb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    # exact-Jaccard verify: re-join text by id for the candidate pairs only
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    pairs = (
+        pairs.join(texts.withColumnRenamed("_tid", "id_a"), "id_a")
+        .withColumnRenamed("_t", "_ta")
+        .join(texts.withColumnRenamed("_tid", "id_b"), "id_b")
+        .withColumnRenamed("_t", "_tb")
     )
     ga = ngrams(F.col("_ta"), shingle_n)
     gb = ngrams(F.col("_tb"), shingle_n)
@@ -200,6 +269,42 @@ def simhash(text: Column, shingle_n: int = 2, bits: int = 32) -> Column:
     the shingle chain per bit)."""
     sh = ngrams(text, shingle_n)
     return simhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)), bits)
+
+
+def simhash_udf(bits: int = 32):
+    """array<long> shingle hashes -> simhash long, one Arrow batch of
+    NumPy (replaces `bits` interpreted F.aggregate passes)."""
+
+    @F.pandas_udf(LongType())
+    def f(hashes: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(h, dtype=np.int64)
+            if h is not None and len(h) > 0
+            else None
+            for h in hashes
+        ]
+        res: list = [None] * len(arrs)
+        valid = [a for a in arrs if a is not None]
+        if valid:
+            flat = np.concatenate(valid).view(np.uint64)
+            vlens = np.array([len(a) for a in valid], dtype=np.int64)
+            starts = np.zeros(len(valid), dtype=np.int64)
+            starts[1:] = np.cumsum(vlens)[:-1]
+            out = np.zeros(len(valid), dtype=np.int64)
+            for b in range(bits):
+                bitvals = (
+                    ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+                )
+                sums = np.add.reduceat(bitvals, starts)
+                out |= (sums > 0).astype(np.int64) << b
+            vi = 0
+            for i, a in enumerate(arrs):
+                if a is not None:
+                    res[i] = int(out[vi])
+                    vi += 1
+        return pd.Series(res)
+
+    return f
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
@@ -232,14 +337,13 @@ def simhash_dedup(
     """Near-dup pairs with SimHash Hamming distance <= max_hamming,
     candidate-joined on 4 hash bands (each band exact-matches for any
     pair within Hamming distance 3 of a 32-bit hash)."""
-    base = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn(
-            "_hashes",
-            F.transform(ngrams(F.col("_text"), 2), lambda s: F.xxhash64(s)),
-        )
-        .withColumn("_sh", simhash_from_hashes(F.col("_hashes"), bits=bits))
-        .drop("_text", "_hashes")
+    sh_udf = simhash_udf(bits=bits)
+    df = _spread(df)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        sh_udf(
+            F.transform(ngrams(F.col(text_col), 2), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
     )
     band_w = bits // 4
     banded = base.withColumn(

@@ -32,19 +32,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _shard_fingerprint(df: DataFrame) -> dict:
-    row = df.select(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.expr(
-                "bit_xor(xxhash64(struct("
-                + ", ".join(f"`{c}`" for c in df.columns)
-                + ")))"
-            ),
-            F.lit(0),
-        ).alias("h"),
-    ).first()
-    return {"rows": row["n"], "digest": int(row["h"])}
+def _all_shard_fingerprints(sharded: DataFrame, n_shards: int) -> dict[int, dict]:
+    """Fingerprint every shard in ONE groupBy pass (count + xor of row
+    hashes per shard) — not one full input scan per shard."""
+    data_cols = [c for c in sharded.columns if c != "_shard"]
+    rows = (
+        sharded.groupBy("_shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(xxhash64(struct("
+                    + ", ".join(f"`{c}`" for c in data_cols)
+                    + ")))"
+                ),
+                F.lit(0),
+            ).alias("h"),
+        )
+        .collect()
+    )
+    fps = {int(r["_shard"]): {"rows": r["n"], "digest": int(r["h"])} for r in rows}
+    for k in range(n_shards):
+        fps.setdefault(k, {"rows": 0, "digest": 0})
+    return fps
 
 
 def run_stage(
@@ -68,11 +78,12 @@ def run_stage(
     sharded = input_df.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards))
     ).persist()
+    fps = _all_shard_fingerprints(sharded, n_shards)
     completed = 0
     for k in range(n_shards):
         ledger_file = ledger_dir / f"{k}.json"
         shard_df = sharded.filter(F.col("_shard") == k).drop("_shard")
-        fp = _shard_fingerprint(shard_df)
+        fp = fps[k]
         if ledger_file.exists():
             rec = json.loads(ledger_file.read_text())
             if rec["input_fingerprint"] == fp:
@@ -81,10 +92,11 @@ def run_stage(
             sharded.unpersist()
             raise RuntimeError(f"injected failure before shard {k}")
         t0 = time.time()
-        out = transform(shard_df)
+        out = transform(shard_df).persist()
+        rows_out = out.count()
         out_path = root / f"shard={k}"
         out.write.mode("overwrite").parquet(str(out_path))
-        rows_out = spark.read.parquet(str(out_path)).count()
+        out.unpersist()
         rec = {
             "shard": k,
             "rows_in": fp["rows"],

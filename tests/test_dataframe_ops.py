@@ -214,6 +214,30 @@ class TestAggregates:
             ("881f1d4817fffff", 1.5),
         }
 
+    def test_callable_aggregate(self, h3_df_values):
+        """Reference parity: `operation` accepts any Python callable
+        (h3pandas.py:453,496-497) — routed through applyInPandas."""
+
+        def rng(s):
+            return float(s.max() - s.min())
+
+        got = dfo.h3_to_parent_aggregate(
+            h3_df_values, 8, operation=rng, return_geometry=False
+        ).collect()
+        assert {(r.h3_08, r.val) for r in got} == {
+            ("881f1d4811fffff", 0.0),
+            ("881f1d4817fffff", 1.0),
+        }
+
+    def test_callable_geo_aggregate(self, basic_df_values):
+        got = dfo.geo_to_h3_aggregate(
+            basic_df_values, 1, operation=lambda s: float(s.sum()),
+            return_geometry=False,
+        ).collect()
+        assert len(got) == 1
+        assert got[0].h3_01 == "811e3ffffffffff"
+        assert got[0].val == 7.0
+
 
 class TestSmoothing:
     def test_k_vs_equal_weights(self, h3_df_values):
