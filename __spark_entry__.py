@@ -348,6 +348,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes")
 
 
+def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-pair exact 3-gram Jaccard — oracles the verification stage
+    of the MinHash-LSH dedup path (same gram/intersect/union algebra)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
+    ).filter(F.col("id_a") % 5 == 0)
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    ga = textops.ngrams(F.col("_ta"), 3)
+    gb = textops.ngrams(F.col("_tb"), 3)
+    inter = F.size(F.array_intersect(F.array_distinct(ga), F.array_distinct(gb)))
+    union = F.size(F.array_union(ga, gb))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved docs -> span geo extraction -> geo_to_h3(7)
     -> parent rollup to res 5 -> densest tiles."""
@@ -380,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_per_user": q_events_top_per_user,
         "spans_stats": q_spans_stats,
         "extract_geometry_grid": q_extract_geometry_grid,
+        "jaccard_verify": q_jaccard_verify,
+        "media_features": q_media_features,
         # rows-only (H3 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
         "polyfill_tiles": q_polyfill_tiles,
@@ -387,7 +409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_smoothing": q_kring_smoothing,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "media_features": q_media_features,
     }
 
 
@@ -500,6 +521,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(list_sum(list_transform(list_filter(spans, s -> s.kind = 'text'), "
             "s -> length(s.text)))) AS BIGINT) AS total_text_len "
             "FROM d GROUP BY lang"
+        ),
+        "jaccard_verify": (
+            "WITH a AS (SELECT doc_id AS id_a, text AS ta FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "b AS (SELECT doc_id AS id_b, text AS tb FROM documents), "
+            "p AS (SELECT id_a, id_b, ta, tb FROM a JOIN b ON id_b = id_a + 1), "
+            "g AS (SELECT id_a, id_b, "
+            "list_transform(range(1, greatest(len(string_split(trim(ta),' '))-2,1)+1), "
+            "i -> array_to_string(string_split(trim(ta),' ')[i:i+2], ' ')) AS ga, "
+            "list_transform(range(1, greatest(len(string_split(trim(tb),' '))-2,1)+1), "
+            "i -> array_to_string(string_split(trim(tb),' ')[i:i+2], ' ')) AS gb "
+            "FROM p) "
+            "SELECT id_a, id_b, "
+            "round(len(list_intersect(list_distinct(ga), list_distinct(gb))) / "
+            "CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE), 6) AS jaccard "
+            "FROM g"
+        ),
+        "media_features": (
+            f"WITH d AS ({spans_cte}), "
+            "m AS (SELECT s.media_ref AS media_id FROM "
+            "(SELECT unnest(spans) AS s FROM d) WHERE s.kind = 'media') "
+            "SELECT media_id, "
+            "CASE CAST(regexp_extract(media_id, '(\\d+)$', 1) AS BIGINT) % 3 "
+            "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "CAST(32 AS BIGINT) AS n_bytes FROM m"
         ),
         "extract_geometry_grid": (
             f"WITH d AS ({spans_cte}), "

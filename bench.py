@@ -200,17 +200,42 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
 
 
 def _warmup(spark) -> None:
-    """Spin up python workers / JIT before the timed section (one-time
-    environment setup is not throughput)."""
+    """Spin up python workers / JIT / first-touch NumPy pages on every UDF
+    code path before the timed section (one-time environment setup is not
+    throughput — each of the 32 local workers imports numpy+kernel once)."""
     from pyspark.sql import functions as F
 
     from sparkh3 import functions as H3F
+    from sparkh3.operators import textops, udfs
 
-    df = spark.range(0, 20000, 1, spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 20000, 1, par)
     df = df.withColumn("lat", (F.col("id") % 120 - 60).cast("double"))
     df = df.withColumn("lng", (F.col("id") % 300 - 150).cast("double"))
-    df.withColumn(
+    df = df.withColumn(
         "c", H3F.latlng_to_cell_udf(6)(F.col("lat"), F.col("lng"))
+    )
+    df = df.withColumn("ll", H3F.cell_to_latlng_udf()(F.col("c")))
+    df = df.withColumn("ring", udfs.k_ring_udf_int(1)(F.col("c")))
+    df = df.withColumn(
+        "pip",
+        udfs.point_in_flat_polygon_udf()(
+            F.col("lat"),
+            F.col("lng"),
+            F.lit("w"),
+            F.array(*[F.lit(x) for x in (0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0)]),
+            F.array(F.lit(4)),
+        ),
+    )
+    df = df.withColumn(
+        "sig",
+        textops.minhash_signature_udf(16)(
+            F.array(F.xxhash64("id"), F.xxhash64("lat"))
+        ),
+    )
+    df.count()
+    _rect_polys(spark).limit(2).withColumn(
+        "cv", udfs.polyfill_cover_udf(3)(F.col("geometry"))
     ).count()
 
 

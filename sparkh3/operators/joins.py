@@ -97,7 +97,22 @@ def pip_join(
     # still contains the Python UDF re-evaluates it (measured ~5x cost)
     poly_cells = poly_cells.persist()
     poly_cells.count()
-    poly_geom = polygons.select(poly_key, geometry_col)
+    # flatten geometry once per polygon: Arrow ships flat doubles to the
+    # refine UDF ~100x cheaper than nested array<array<struct>> rows
+    poly_geom = polygons.select(
+        poly_key,
+        F.flatten(
+            F.transform(
+                F.col(geometry_col),
+                lambda ring: F.flatten(
+                    F.transform(ring, lambda p: F.array(p["lat"], p["lng"]))
+                ),
+            )
+        ).alias("_pcoords"),
+        F.transform(F.col(geometry_col), lambda ring: F.size(ring)).alias(
+            "_prlens"
+        ),
+    )
     if broadcast:
         poly_cells = F.broadcast(poly_cells)
         poly_geom = F.broadcast(poly_geom)
@@ -107,15 +122,16 @@ def pip_join(
     cand = pts.join(poly_cells, "_cell", "inner")
     # exact refinement: geometry attaches to candidate rows only (second
     # broadcast join by key — the cover table never duplicates geometry),
-    # and the even-odd ray cast runs vectorized per polygon group inside
-    # each Arrow batch.
+    # and the even-odd ray cast parses each polygon once per Arrow-batch
+    # group, then runs vectorized over the group's points.
     cand = cand.join(poly_geom, poly_key)
     refined = cand.filter(
-        udfs.point_in_polygon_udf()(
-            F.col(lat_col), F.col(lng_col), F.col(geometry_col)
+        udfs.point_in_flat_polygon_udf()(
+            F.col(lat_col), F.col(lng_col), F.col(poly_key),
+            F.col("_pcoords"), F.col("_prlens"),
         )
     )
-    return refined.drop("_cell", geometry_col)
+    return refined.drop("_cell", "_pcoords", "_prlens")
 
 
 def knn_join(

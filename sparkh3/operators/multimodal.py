@@ -49,11 +49,14 @@ FEATURE_SCHEMA = StructType(
 
 def synthesize_media(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """Build a deterministic media table from media_ref URIs: the payload
-    is a seeded byte pattern (stands in for real blobs; fixed seed)."""
+    is a seeded byte pattern (stands in for real blobs; fixed seed).
+    `kind` derives from the ref's trailing integer (engine-portable
+    arithmetic, so the DuckDB oracle reproduces it exactly)."""
+    num = F.regexp_extract(F.col(ref_col), r"(\d+)$", 1).cast("long")
     return df.select(
         F.col(ref_col).alias("media_id"),
-        F.when(F.crc32(F.col(ref_col)) % 3 == 0, "image")
-        .when(F.crc32(F.col(ref_col)) % 3 == 1, "audio")
+        F.when(num % 3 == 0, "image")
+        .when(num % 3 == 1, "audio")
         .otherwise("video")
         .alias("kind"),
         F.to_binary(F.sha2(F.col(ref_col), 256), F.lit("hex")).alias("payload"),

@@ -13,8 +13,11 @@ All dot products run as native ``zip_with``/``aggregate`` column algebra
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -102,6 +105,40 @@ def lsh_signature(vec: Column, dim: int, table: int, n_bits: int = 12) -> Column
     return sig
 
 
+def lsh_signatures_udf(dim: int, n_tables: int, n_bits: int):
+    """embedding -> array<long> of ALL `n_tables` signatures in one Arrow
+    pass: one (dim x n_tables*n_bits) matrix multiply per batch instead of
+    n_tables*n_bits interpreted aggregate passes over the corpus."""
+    planes = np.array(
+        [
+            [_hyperplane(dim, t, b) for b in range(n_bits)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    ).reshape(n_tables * n_bits, dim)
+    w_t = planes.T  # (dim, n_tables*n_bits)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(vec: pd.Series) -> pd.Series:
+        rows = [
+            np.asarray(v, dtype=np.float64) if v is not None else None
+            for v in vec
+        ]
+        res: list = [None] * len(rows)
+        valid_idx = [i for i, r in enumerate(rows) if r is not None]
+        if valid_idx:
+            emb = np.stack([rows[i] for i in valid_idx])
+            proj = emb @ w_t
+            bits = (proj > 0).reshape(len(valid_idx), n_tables, n_bits)
+            sigs = (bits * weights).sum(axis=2)
+            for j, i in enumerate(valid_idx):
+                res[i] = sigs[j].tolist()
+        return pd.Series(res)
+
+    return f
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,25 +151,32 @@ def lsh_cosine_topk(
     n_tables: int = 8,
     n_bits: int = 10,
 ) -> DataFrame:
-    """Approximate top-k: union of `n_tables` signature-bucket joins,
-    exact cosine re-rank among candidates. Recall grows with n_tables;
-    cost stays bucket-local (no cross join, no corpus shuffle beyond the
-    bucket keys)."""
+    """Approximate top-k: ONE corpus pass computes all `n_tables`
+    signatures (vectorized matrix multiply), posexplode keys the bucket
+    join on (table, signature); exact cosine re-rank among candidates.
+    Recall grows with n_tables; cost stays bucket-local — the corpus is
+    scanned once, only (id, table, sig) rides the explode, and vectors
+    re-attach to the (small) candidate set by id."""
+    sig_udf = lsh_signatures_udf(dim, n_tables, n_bits)
     c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
     )
-    cands = None
-    for t in range(n_tables):
-        csig = c.withColumn("_sig", lsh_signature(F.col("_cv"), dim, t, n_bits))
-        qsig = q.withColumn("_sig", lsh_signature(F.col("_qv"), dim, t, n_bits))
-        part = csig.join(F.broadcast(qsig), "_sig").select(
-            "_qid", "_qv", "_cid", "_cv"
-        )
-        cands = part if cands is None else cands.unionByName(part)
-    cands = cands.filter(F.col("_cid") != F.col("_qid")).dropDuplicates(
-        ["_qid", "_cid"]
+    c_b = c.withColumn("_sigs", sig_udf(F.col("_cv"))).select(
+        "_cid", F.posexplode("_sigs").alias("_t", "_sig")
     )
+    q_b = q.withColumn("_sigs", sig_udf(F.col("_qv"))).select(
+        "_qid", F.posexplode("_sigs").alias("_t", "_sig")
+    )
+    cand_ids = (
+        c_b.join(F.broadcast(q_b), ["_t", "_sig"])
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select("_qid", "_cid")
+        .distinct()
+    )
+    # vectors attach to candidates only (candidate set is small by
+    # construction; AQE broadcasts it into the corpus scan)
+    cands = cand_ids.join(c, "_cid").join(F.broadcast(q), "_qid")
     scored = cands.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
     out = scored.withColumn("rank", F.row_number().over(w)).filter(

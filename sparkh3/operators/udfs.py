@@ -68,6 +68,46 @@ def point_in_polygon_udf():
     return f
 
 
+def point_in_flat_polygon_udf():
+    """(lat, lng, poly_key, flat_coords, ring_lens) -> bool.
+
+    The polygon rides each candidate row as a FLAT array<double>
+    ([lat0,lng0,lat1,lng1,...] + per-ring lengths) — Arrow moves flat
+    doubles ~100x cheaper than nested array<array<struct>> rows, and the
+    even-odd ray cast parses each polygon once per (batch, key) group,
+    then runs vectorized over all of that group's points.
+    """
+
+    @F.pandas_udf(BooleanType())
+    def f(
+        lat: pd.Series,
+        lng: pd.Series,
+        key: pd.Series,
+        flat: pd.Series,
+        rlens: pd.Series,
+    ) -> pd.Series:
+        import numpy as np
+
+        from ..kernel import polygon as pg
+
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lng.to_numpy(dtype=np.float64)
+        out = np.zeros(len(la), dtype=bool)
+        codes, uniques = pd.factorize(key, use_na_sentinel=True)
+        for g in range(len(uniques)):
+            ii = np.where(codes == g)[0]
+            raw = flat.iloc[ii[0]]
+            if raw is None or len(raw) == 0:
+                continue
+            coords = np.asarray(raw, dtype=np.float64).reshape(-1, 2)
+            rl = np.asarray(rlens.iloc[ii[0]], dtype=np.int64)
+            rings = np.split(coords, np.cumsum(rl)[:-1])
+            out[ii] = pg.points_in_rings(la[ii], lo[ii], rings)
+        return pd.Series(out)
+
+    return f
+
+
 def point_in_keyed_polygon_udf(geo_map: dict):
     """(lat, lng, poly_key) -> bool. Polygon rings ship in the closure
     (small side); the even-odd ray cast runs vectorized per polygon group
