@@ -141,15 +141,31 @@ def grid_ring(cell, k: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _base_anchor(bc: int, res: int) -> np.ndarray:
+    """Lattice coords of base cell `bc`'s center at `res` in its home-face
+    frame: the home ijk pushed down the aperture chain with center digits
+    (the public H3 local-IJK frame anchors this point at {0,0,0})."""
+    from .constants import BASE_CELL_DATA
+
+    v = BASE_CELL_DATA[bc, 1:4].astype(np.int64)[None, :]
+    for r in range(1, res + 1):
+        v = IJK.down_ap7(v) if r % 2 else IJK.down_ap7r(v)
+    return v[0]
+
+
 def grid_path(a: int, b: int) -> np.ndarray:
     """Cell path from a to b (inclusive), matching the public H3
     grid_path_cells semantics: straight-line interpolation in the local
     hex lattice, one cell per grid step.
 
-    Local coordinates are obtained by projecting both endpoints onto cell
-    a's icosahedron face plane; for paths spanning faces the gnomonic
-    extension keeps lattice alignment near the shared edge (paths are
-    per-segment short in linetrace usage).
+    Parity notes (public H3 gridPathCells, reference linetrace goldens
+    tests/test_h3pandas.py:309-439): the interpolation frame is anchored
+    at the ORIGIN's base-cell center (coords translated so that point is
+    {0,0,0}) — rounding of exact-half lattice ties is anchor-dependent
+    under round-half-away-from-zero, so the anchor is part of the
+    contract. Interpolation uses start + n*(delta/dist) like the
+    reference implementation, and cube rounding fixes the largest
+    residual axis (i before j before k on exact ties).
     """
     a = np.uint64(a)
     b = np.uint64(b)
@@ -166,21 +182,24 @@ def grid_path(a: int, b: int) -> np.ndarray:
     va = geo.cell_to_local_ijk(int(a), int(f))
     vb = geo.cell_to_local_ijk(int(b), int(f))
     unfolded = va is not None and vb is not None
+    anchor = _base_anchor(bc_a, res)
     if unfolded:
-        ijk2 = np.stack([va, vb])
+        ijk2 = np.stack([va, vb]) - anchor[None, :]
     else:
         lat, lng = geo.cell_to_latlng(np.array([a, b], dtype=np.uint64))
         pts = proj.geo_to_hex2d_on_face(
             np.radians(lat), np.radians(lng), np.full(2, f), res
         )
-        ijk2 = IJK.hex2d_to_ijk(pts)
+        ijk2 = IJK.hex2d_to_ijk(pts) - anchor[None, :]
     cube = IJK.ijk_to_cube(ijk2).astype(np.float64)
     n = int(IJK.ijk_distance(ijk2[0], ijk2[1]))
     if n == 0:
         return np.array([a, b], dtype=np.uint64)
-    t = np.linspace(0.0, 1.0, n + 1)[:, None]
-    interp = cube[0][None, :] * (1 - t) + cube[1][None, :] * t
+    step = (cube[1] - cube[0]) / float(n)
+    interp = cube[0][None, :] + step[None, :] * np.arange(n + 1)[:, None]
     cells_ijk = IJK.cube_to_ijk(IJK.cube_round(interp))
+    # translate back out of the origin-anchored frame
+    cells_ijk = IJK.normalize(cells_ijk + anchor[None, :])
     if unfolded:
         # exact integer path: each lattice point maps through the
         # overage transform to its owning face

@@ -88,12 +88,11 @@ class TestGridPath:
             "83bb2bfffffffff",
         ]
 
-    @pytest.mark.xfail(
-        reason="known gap: one cross-base-cell rounding tie differs from "
-        "the reference (11/12 antimeridian multiline cells match)",
-        strict=True,
-    )
     def test_antimeridian_multiline_exact(self):
+        """Full 12/12 parity with the reference antimeridian multiline
+        (tests/test_h3pandas.py:370-387): cross-base-cell rounding ties
+        resolve identically now that interpolation is anchored at the
+        origin's base-cell center (the public H3 local-IJK frame)."""
         segs = [
             ((-45.79817, 168.222656), (-34.307144, 171.914063)),
             ((-34.307144, 171.914063), (-37.926868, 178.769531)),
