@@ -348,6 +348,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes")
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline) — the
+    oracle is a DuckDB list_cosine_similarity self-join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", "sim"
+    )
+
+
 def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned-pair exact 3-gram Jaccard — oracles the verification stage
     of the MinHash-LSH dedup path (same gram/intersect/union algebra)."""
@@ -402,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_geometry_grid": q_extract_geometry_grid,
         "jaccard_verify": q_jaccard_verify,
         "media_features": q_media_features,
+        "embed_neardup": q_embed_neardup,
         # rows-only (H3 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
         "polyfill_tiles": q_polyfill_tiles,
@@ -537,6 +547,13 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_intersect(list_distinct(ga), list_distinct(gb))) / "
             "CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE), 6) AS jaccard "
             "FROM g"
+        ),
+        "embed_neardup": (
+            "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4"
         ),
         "media_features": (
             f"WITH d AS ({spans_cte}), "

@@ -105,6 +105,58 @@ def lsh_signature(vec: Column, dim: int, table: int, n_bits: int = 12) -> Column
     return sig
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    use_lsh: bool = False,
+    n_tables: int = 16,
+    n_bits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and sim >= threshold.
+
+    ``use_lsh=False`` is the exact baseline (block cross join — correct
+    and oracle-able, quadratic; fine for verification scales).
+    ``use_lsh=True`` is the 100 TB shape: candidates only from shared
+    hyperplane-LSH buckets (one vectorized signature pass, id-only
+    banding — vectors re-attach by id), exact cosine verify on the
+    candidate pairs. Approximate (recall < 1), like MinHash for text.
+    """
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        sig_udf = lsh_signatures_udf(dim, n_tables, n_bits)
+        banded = c.withColumn("_sigs", sig_udf(F.col("_cv"))).select(
+            "_cid", F.posexplode("_sigs").alias("_t", "_sig")
+        )
+        a = banded.select(F.col("_cid").alias("id_a"), "_t", "_sig")
+        b = banded.select(F.col("_cid").alias("id_b"), "_t", "_sig")
+        pairs = (
+            a.join(b, ["_t", "_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = (
+            pairs.join(c.withColumnRenamed("_cid", "id_a"), "id_a")
+            .withColumnRenamed("_cv", "_va")
+            .join(c.withColumnRenamed("_cid", "id_b"), "id_b")
+            .withColumnRenamed("_cv", "_vb")
+        )
+    else:
+        a = c.select(F.col("_cid").alias("id_a"), F.col("_cv").alias("_va"))
+        b = c.select(F.col("_cid").alias("id_b"), F.col("_cv").alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    ).filter(F.col("sim") >= threshold)
+    return out.select("id_a", "id_b", "sim")
+
+
 def lsh_signatures_udf(dim: int, n_tables: int, n_bits: int):
     """embedding -> array<long> of ALL `n_tables` signatures in one Arrow
     pass: one (dim x n_tables*n_bits) matrix multiply per batch instead of

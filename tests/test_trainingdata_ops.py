@@ -127,6 +127,22 @@ class TestSimilarity:
         got_r1 = [r.vec_id for r in rows if r.query_id == qid and r.rank == 1][0]
         assert got_r1 == sims[0][1]
 
+    def test_cosine_neardup_exact_vs_lsh(self, emb):
+        dim = len(emb.first().embedding)
+        exact = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_neardup_pairs(emb, 0.35).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_neardup_pairs(
+                emb, 0.35, dim=dim, use_lsh=True, n_tables=24, n_bits=4
+            ).collect()
+        }
+        assert lsh <= exact  # exact verify: no false positives
+        if exact:
+            assert len(lsh & exact) / len(exact) >= 0.5  # bucket recall
+
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), "embedding"
