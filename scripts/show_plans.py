@@ -62,6 +62,28 @@ def main() -> None:
     print("== pip_join strategy ==")
     print("  BroadcastHashJoin:", "BroadcastHashJoin" in pp)
     print("  SortMergeJoin:", "SortMergeJoin" in pp)
+
+    from sparkh3.operators import similarity, textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mh = textops.minhash_lsh_dedup(docs, jaccard_threshold=0.4)
+    mp = mh._jdf.queryExecution().executedPlan().toString()
+    print("== minhash: text stays out of the banding shuffle ==")
+    exchanges = [
+        seg.split("+-")[0] for seg in mp.split("Exchange hashpartitioning")
+    ][1:]
+    print(
+        "  exchanges keyed on text:",
+        sum("text#" in seg.split("\n")[0] for seg in exchanges),
+        "/", len(exchanges),
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q5 = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    ann = similarity.lsh_cosine_topk(emb, q5, k=3, dim=len(emb.first().embedding))
+    ap = ann._jdf.queryExecution().executedPlan().toString()
+    print("== lsh ann: one-pass signatures ==")
+    print("  corpus parquet scans:", ap.count("Scan parquet"))
     spark.stop()
 
 

@@ -161,6 +161,34 @@ def latlng_to_cell_udf(res: int):
     return f
 
 
+def latlng_to_cell_long_udf(res: int):
+    """Int64 cell ids — the at-scale storage form: no hex-string object
+    arrays, so Arrow batches stay flat numeric buffers (first-touch page
+    faults on per-row string allocation are the measured scaling ceiling
+    of this host; int64 avoids them). Pair with h3_parent_int /
+    h3_prefix_bucket for fully JVM-native rollups and bucketing."""
+
+    @F.pandas_udf(LongType())
+    def f(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import geo
+
+        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lng.to_numpy(dtype=np.float64, na_value=np.nan)
+        null = np.isnan(la) | np.isnan(lo)
+        cells = geo.latlng_to_cell(
+            np.where(null, 0.0, la), np.where(null, 0.0, lo), res
+        )
+        out = pd.Series(cells.view(np.int64))
+        if null.any():
+            out = out.astype("Int64")
+            out[null] = None
+        return out
+
+    return f
+
+
 _LATLNG_STRUCT = StructType(
     [StructField("lat", DoubleType()), StructField("lng", DoubleType())]
 )
@@ -176,6 +204,26 @@ def cell_to_latlng_udf():
         lat, lng = geo.cell_to_latlng(cells)
         df = pd.DataFrame({"lat": lat, "lng": lng})
         df.loc[null, :] = None
+        return df
+
+    return f
+
+
+def cell_to_latlng_long_udf():
+    """Centroid from int64 cell ids (no hex decode, flat numeric Arrow)."""
+
+    @F.pandas_udf(_LATLNG_STRUCT)
+    def f(cell: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from .kernel import geo
+
+        vals = cell.to_numpy(dtype=np.int64, na_value=0)
+        null = pd.isna(cell).to_numpy()
+        lat, lng = geo.cell_to_latlng(vals.view(np.uint64))
+        df = pd.DataFrame({"lat": lat, "lng": lng})
+        if null.any():
+            df.loc[null, :] = None
         return df
 
     return f

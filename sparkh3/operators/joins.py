@@ -60,31 +60,36 @@ def pip_join(
     lng_col: str = "lng",
     geometry_col: str = "geometry",
     broadcast: bool = True,
+    validate_key: bool = True,
 ) -> DataFrame:
     """Exact point-in-polygon join. Returns points columns + all polygon
     columns except its geometry.
 
-    Scale shape: NOTHING about the polygon side is collected to the
-    driver. Cover cells join candidates on the H3 cell; the exact
-    ray-cast refinement joins the geometry back by the polygon key —
-    only candidate rows ever carry geometry. With ``broadcast=True``
-    (default: small dim side) both joins are BroadcastHashJoin and the
-    point side never shuffles; with ``broadcast=False`` the same plan
-    runs as shuffle joins, so arbitrarily large polygon sides work.
-    The polygon key (first non-geometry column) must be unique — a
-    duplicate key would mis-multiply candidates, so we validate it.
+    Scale shape: with ``broadcast=True`` (default — the polygon side is
+    the declared-small dim side) the cover join is a BroadcastHashJoin
+    (the 100 TB point side never shuffles) and refinement geometry ships
+    once per executor as a Spark broadcast variable, so candidate rows
+    carry only scalar columns through Arrow. With ``broadcast=False``
+    NOTHING is ever collected to the driver: the cover joins by shuffle
+    and refinement geometry joins back by key as flat coord arrays, so
+    arbitrarily large polygon sides work. The polygon key (first
+    non-geometry column) must be unique — a duplicate key would
+    mis-multiply candidates, so we validate it (``validate_key=False``
+    skips the one-job check when the caller already guarantees
+    uniqueness, e.g. keys from a groupBy).
     """
     from . import udfs
 
     poly_key = [c for c in polygons.columns if c != geometry_col][0]
-    stats = polygons.agg(
-        F.count("*").alias("n"), F.countDistinct(poly_key).alias("nd")
-    ).first()
-    if stats["n"] != stats["nd"]:
-        raise ValueError(
-            f"pip_join: polygon key column '{poly_key}' must be unique "
-            f"({stats['n']} rows, {stats['nd']} distinct keys)"
-        )
+    if validate_key:
+        stats = polygons.agg(
+            F.count("*").alias("n"), F.countDistinct(poly_key).alias("nd")
+        ).first()
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"pip_join: polygon key column '{poly_key}' must be unique "
+                f"({stats['n']} rows, {stats['nd']} distinct keys)"
+            )
     cover = udfs.polyfill_cover_udf(resolution)
     # spread the polygon side by key so each cover computation gets its
     # own task — the UDF cost is per-polygon, not per-row-count
@@ -97,8 +102,37 @@ def pip_join(
     # still contains the Python UDF re-evaluates it (measured ~5x cost)
     poly_cells = poly_cells.persist()
     poly_cells.count()
-    # flatten geometry once per polygon: Arrow ships flat doubles to the
-    # refine UDF ~100x cheaper than nested array<array<struct>> rows
+    if broadcast:
+        poly_cells = F.broadcast(poly_cells)
+    pts = points.withColumn(
+        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
+    )
+    cand = pts.join(poly_cells, "_cell", "inner")
+    if broadcast:
+        # exact refinement, broadcast path: geometry ships once per
+        # executor as a Spark broadcast variable (the polygon side is the
+        # declared-small dim side), so candidate rows carry only three
+        # scalar columns through Arrow — no per-row geometry allocation.
+        import numpy as np
+
+        geo_map = {
+            r[poly_key]: [
+                np.array([(p["lat"], p["lng"]) for p in ring], dtype=np.float64)
+                for ring in r[geometry_col]
+            ]
+            for r in polygons.select(poly_key, geometry_col).collect()
+        }
+        geo_bc = points.sparkSession.sparkContext.broadcast(geo_map)
+        refined = cand.filter(
+            udfs.point_in_broadcast_polygon_udf(geo_bc)(
+                F.col(lat_col), F.col(lng_col), F.col(poly_key)
+            )
+        )
+        return refined.drop("_cell")
+    # non-broadcast path (arbitrarily large polygon sides): geometry
+    # joins back to candidate rows only, flattened to array<double> +
+    # ring lengths (Arrow moves flat doubles ~100x cheaper than nested
+    # struct rows); the ray cast parses once per (batch, key) group.
     poly_geom = polygons.select(
         poly_key,
         F.flatten(
@@ -113,17 +147,6 @@ def pip_join(
             "_prlens"
         ),
     )
-    if broadcast:
-        poly_cells = F.broadcast(poly_cells)
-        poly_geom = F.broadcast(poly_geom)
-    pts = points.withColumn(
-        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
-    )
-    cand = pts.join(poly_cells, "_cell", "inner")
-    # exact refinement: geometry attaches to candidate rows only (second
-    # broadcast join by key — the cover table never duplicates geometry),
-    # and the even-odd ray cast parses each polygon once per Arrow-batch
-    # group, then runs vectorized over the group's points.
     cand = cand.join(poly_geom, poly_key)
     refined = cand.filter(
         udfs.point_in_flat_polygon_udf()(

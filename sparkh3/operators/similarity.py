@@ -157,6 +157,131 @@ def cosine_neardup_pairs(
     return out.select("id_a", "id_b", "sim")
 
 
+def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    """embedding -> array of the n_probe nearest centroid ids (by cosine;
+    centroids are L2-normalized so one matrix multiply per Arrow batch)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(vec: pd.Series) -> pd.Series:
+        rows = [
+            np.asarray(v, dtype=np.float64) if v is not None else None
+            for v in vec
+        ]
+        res: list = [None] * len(rows)
+        idx = [i for i, r in enumerate(rows) if r is not None]
+        if idx:
+            emb = np.stack([rows[i] for i in idx])
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+            sims = emb @ cn.T  # (n, n_lists)
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            for j, i in enumerate(idx):
+                res[i] = top[j].tolist()
+        return pd.Series(res)
+
+    return f
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> np.ndarray:
+    """Deterministic IVF codebook: seed centroids are the vectors with
+    the `n_lists` smallest xxhash64(id) (a uniform deterministic sample
+    — no RNG state), then `refine_iters` Lloyd steps, each ONE shuffle:
+    assign (vectorized matrix multiply) -> groupBy(list) mean via
+    applyInPandas. The codebook (n_lists x dim floats) is driver-held by
+    design — it is the broadcastable dimension table of IVF."""
+    from pyspark.sql.types import (
+        ArrayType as AT,
+        DoubleType,
+        LongType as LT,
+        StructField,
+        StructType,
+    )
+
+    seeds = (
+        corpus.select(F.col(vec_col).alias("_v"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seeds])
+    schema = StructType(
+        [StructField("_list", LT()), StructField("_mean", AT(DoubleType()))]
+    )
+
+    def mean_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]]).mean(
+            axis=0
+        )
+        return pd.DataFrame({"_list": [pdf["_list"].iloc[0]], "_mean": [m.tolist()]})
+
+    for _ in range(refine_iters):
+        assign = _ivf_assign_udf(cents, 1)
+        assigned = corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.element_at(assign(F.col(vec_col)), 1).alias("_list"),
+        )
+        rows = assigned.groupBy("_list").applyInPandas(mean_of, schema).collect()
+        for r in rows:
+            cents[int(r["_list"])] = np.asarray(r["_mean"], dtype=np.float64)
+    return cents
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus rows land in ONE centroid list
+    (narrow int64 key), queries probe their `n_probe` nearest lists,
+    exact cosine re-rank among candidates. Complements hyperplane LSH:
+    recall tracks data clustering instead of random projections, and the
+    inverted-list layout is the natural bucketed-parquet partitioning
+    for a 100 TB corpus (partition by _list, prune by probe set)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    c_assign = _ivf_assign_udf(centroids, 1)
+    q_assign = _ivf_assign_udf(centroids, n_probe)
+    c_l = c.withColumn("_list", F.element_at(c_assign(F.col("_cv")), 1))
+    q_l = q.select(
+        "_qid", "_qv", F.explode(q_assign(F.col("_qv"))).alias("_list")
+    )
+    cands = c_l.join(F.broadcast(q_l), "_list").filter(
+        F.col("_cid") != F.col("_qid")
+    )
+    scored = cands.withColumn(
+        "sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col("_cid").asc())
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return out.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        "sim",
+        "rank",
+    )
+
+
 def lsh_signatures_udf(dim: int, n_tables: int, n_bits: int):
     """embedding -> array<long> of ALL `n_tables` signatures in one Arrow
     pass: one (dim x n_tables*n_bits) matrix multiply per batch instead of

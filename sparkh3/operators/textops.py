@@ -44,6 +44,17 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
 
 
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: word pieces + single digits + punctuation
+    (the usual pre-tokenizer split), native regexp_count — no UDF."""
+    return df.withColumn(
+        "n_tokens_bpe", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/word statistics + a composite quality score — all native,
     SQL-replicable arithmetic."""
@@ -92,16 +103,36 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_key: bool = False,
 ) -> DataFrame:
     """Exact duplicate groups: one keeper (min id) per distinct text.
 
-    Hash-groupBy — partial aggregation map-side; at 100 TB this is the
-    canonical first dedup pass (shuffle keyed on the text hash).
+    ``hash_key=False`` groups on the raw text (exact, oracle semantics).
+    ``hash_key=True`` is the 100 TB shape: shuffle keys on a 128-bit
+    composite (2x xxhash64 seeds) so only (h1, h2, id) rides the
+    exchange — document text joins back for the keeper row only.
+    Collision probability at 10^12 docs is ~1e-14 (birthday, 128-bit).
     """
-    return df.groupBy(text_col).agg(
+    if not hash_key:
+        return df.groupBy(text_col).agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    slim = df.select(
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.xxhash64(F.col(text_col), F.lit(1)).alias("_h2"),
+        F.col(id_col),
+    )
+    groups = slim.groupBy("_h1", "_h2").agg(
         F.min(id_col).alias("keeper_id"),
         F.count("*").alias("dup_count"),
+    )
+    texts = df.select(F.col(id_col).alias("keeper_id"), text_col)
+    return groups.join(texts, "keeper_id").select(
+        text_col, "keeper_id", "dup_count"
     )
 
 
@@ -117,6 +148,46 @@ def ngrams(text: Column, n: int) -> Column:
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint (native xxhash64)."""
     return df.withColumn("fingerprint", F.xxhash64(F.col(text_col)))
+
+
+def winnow_udf(window: int):
+    """array<long> shingle hashes -> array<long> winnowed fingerprints:
+    the distinct minima of every `window`-wide sliding window (the MOSS
+    winnowing scheme — guarantees any match of length >= window+shingle-1
+    tokens shares a fingerprint). One sliding-window-min NumPy pass."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(hashes: pd.Series) -> pd.Series:
+        out: list = [None] * len(hashes)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            a = np.asarray(h, dtype=np.int64)
+            if len(a) <= window:
+                out[i] = [int(a.min())]
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(a, window).min(
+                axis=1
+            )
+            out[i] = np.unique(mins).tolist()
+        return pd.Series(out)
+
+    return f
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing): ONE native
+    xxhash64 pass over the shingles, one vectorized sliding-window-min
+    pass. Output column ``fingerprints: array<long>`` — join/groupBy on
+    exploded fingerprints finds local overlaps (plagiarism/quotation
+    detection), a different guarantee from MinHash's whole-doc Jaccard."""
+    base = F.transform(ngrams(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    return df.withColumn("fingerprints", winnow_udf(window)(base))
 
 
 def _splitmix64(x: int) -> int:

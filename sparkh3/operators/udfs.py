@@ -108,6 +108,35 @@ def point_in_flat_polygon_udf():
     return f
 
 
+def point_in_broadcast_polygon_udf(geo_bc):
+    """(lat, lng, poly_key) -> bool with geometry from a Spark broadcast
+    variable {key: [ring arrays]}. Only three scalar columns cross Arrow
+    per candidate row — the allocation-light shape for the broadcast
+    (small polygon side) case; the ray cast runs vectorized per
+    (batch, key) group."""
+
+    @F.pandas_udf(BooleanType())
+    def f(lat: pd.Series, lng: pd.Series, key: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..kernel import polygon as pg
+
+        geo_map = geo_bc.value
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lng.to_numpy(dtype=np.float64)
+        out = np.zeros(len(la), dtype=bool)
+        codes, uniques = pd.factorize(key, use_na_sentinel=True)
+        for g, kval in enumerate(uniques):
+            rings = geo_map.get(kval)
+            if rings is None:
+                continue
+            ii = np.where(codes == g)[0]
+            out[ii] = pg.points_in_rings(la[ii], lo[ii], rings)
+        return pd.Series(out)
+
+    return f
+
+
 def point_in_keyed_polygon_udf(geo_map: dict):
     """(lat, lng, poly_key) -> bool. Polygon rings ship in the closure
     (small side); the even-odd ray cast runs vectorized per polygon group

@@ -101,9 +101,43 @@ class TestPipJoin:
                     truth.add((r.doc_id, pid))
         assert got_set == truth
         assert len(got_set) > 0
+        # non-broadcast path (shuffle join + flat-coords geometry rejoin,
+        # no driver collect) produces identical rows
+        got_nb = joins.pip_join(pts, polys, resolution=5, broadcast=False)
+        assert {(r.doc_id, r.poly_id) for r in got_nb.collect()} == truth
+
+    def test_pip_join_duplicate_key_raises(self, spark):
+        ring = [
+            {"lng": 0.0, "lat": 0.0},
+            {"lng": 1.0, "lat": 0.0},
+            {"lng": 1.0, "lat": 1.0},
+            {"lng": 0.0, "lat": 0.0},
+        ]
+        polys = spark.createDataFrame(
+            [Row(poly_id="a", geometry=[ring]), Row(poly_id="a", geometry=[ring])]
+        )
+        pts = spark.createDataFrame([Row(doc_id="d", lat=0.5, lng=0.5)])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="must be unique"):
+            joins.pip_join(pts, polys, resolution=5)
 
 
 class TestKnnJoin:
+    def test_knn_empty_queries(self, spark):
+        """Empty query side returns an empty, correctly-typed frame
+        (regression: used to IndexError on done_parts[0])."""
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(sdf).select(
+            F.col("doc_id").alias("point_id"), "lat", "lng"
+        )
+        queries = spark.createDataFrame(
+            [Row(query_id=1, lat=0.0, lng=0.0)]
+        ).filter(F.col("query_id") < 0)
+        got = joins.knn_join(queries, pts, k=3, resolution=5)
+        assert got.count() == 0
+        assert set(got.columns) == {"query_id", "point_id", "dist_km", "rank"}
+
     def test_knn_matches_bruteforce(self, spark):
         import math
 

@@ -16,7 +16,8 @@ def docs(spark):
 
 
 class TestExactDedup:
-    def test_groups(self, spark):
+    @pytest.mark.parametrize("hash_key", [False, True])
+    def test_groups(self, spark, hash_key):
         df = spark.createDataFrame(
             [
                 Row(doc_id=1, text="a b c"),
@@ -26,9 +27,15 @@ class TestExactDedup:
         )
         got = {
             r.text: (r.keeper_id, r.dup_count)
-            for r in textops.exact_dedup(df).collect()
+            for r in textops.exact_dedup(df, hash_key=hash_key).collect()
         }
         assert got == {"a b c": (1, 2), "x y z": (3, 1)}
+
+    def test_bpe_token_count(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="ab1 c-d, e2f!")])
+        got = textops.bpe_token_count(df).collect()[0]
+        # ab,1 | c,-,d,"," | e,2,f,! -> 10 pieces
+        assert got.n_tokens_bpe == 10
 
 
 class TestTextAnalysis:
@@ -48,6 +55,24 @@ class TestTextAnalysis:
         )
         got = {r.doc_id: r.lang_guess for r in textops.lang_id(df).collect()}
         assert got == {1: "en", 2: "data", 3: "query"}
+
+    def test_winnow_shared_fingerprint(self, spark):
+        """Docs sharing a long passage share a winnowed fingerprint;
+        disjoint docs (different token vocabularies) share none."""
+        shared = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"aa bb cc {shared} dd ee"),
+                Row(doc_id=2, text=f"xx yy {shared} zz ww"),
+                Row(doc_id=3, text="p q r s t u v w"),
+            ]
+        )
+        got = {
+            r.doc_id: set(r.fingerprints)
+            for r in textops.winnow_fingerprints(df).collect()
+        }
+        assert got[1] & got[2]
+        assert not (got[1] & got[3]) and not (got[2] & got[3])
 
     def test_fingerprint_deterministic(self, docs):
         a = textops.doc_fingerprint(docs).select("doc_id", "fingerprint")
@@ -142,6 +167,25 @@ class TestSimilarity:
         assert lsh <= exact  # exact verify: no false positives
         if exact:
             assert len(lsh & exact) / len(exact) >= 0.5  # bucket recall
+
+    def test_ivf_recall(self, emb):
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(emb, queries, k=5)
+        approx = similarity.ivf_cosine_topk(
+            emb, queries, k=5, n_lists=16, n_probe=6
+        )
+        e = {(r.query_id, r.vec_id) for r in exact.collect()}
+        a = {(r.query_id, r.vec_id) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.5  # probe-limited scale path
+
+    def test_ivf_deterministic_codebook(self, emb):
+        c1 = similarity.ivf_train_centroids(emb, 8)
+        c2 = similarity.ivf_train_centroids(emb, 8)
+        import numpy as np
+
+        assert np.array_equal(c1, c2)
 
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
