@@ -346,6 +346,40 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probed at n_probe == n_lists (full probe): every corpus
+    vector sits in exactly one probed list, so results are EXACT and the
+    brute-force cosine oracle applies — gating the IVF plumbing itself."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_cosine_topk(
+        emb, queries, k=5, n_lists=16, n_probe=16
+    )
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint counts per doc (hash-valued: rows-only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.winnow_fingerprints(docs)
+    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster -> hex aggregate -> raster (centroid snap). H3-valued
+    intermediate, so rows-only (kernel gated by the golden suite)."""
+    from sparkh3.operators import raster
+
+    pts = _docs_points(spark, sf_dir).select(
+        "lat", "lng", F.lit(1.0).alias("value")
+    )
+    hexed = raster.raster_to_h3(pts, 5, operation="sum")
+    ras = raster.h3_to_raster(hexed, 2.0, h3_col="h3_05")
+    return ras.select("row", "col", F.round("value", 6).alias("value"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkh3.operators import multimodal
 
@@ -425,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embed_neardup": q_embed_neardup,
         "token_stats": q_token_stats,
+        "ivf_ann": q_ivf_ann,
         # rows-only (H3 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
         "polyfill_tiles": q_polyfill_tiles,
@@ -432,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_smoothing": q_kring_smoothing,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "raster_roundtrip": q_raster_roundtrip,
+        "winnow_stats": q_winnow_stats,
     }
 
 
@@ -560,6 +597,17 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_intersect(list_distinct(ga), list_distinct(gb))) / "
             "CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE), 6) AS jaccard "
             "FROM g"
+        ),
+        "ivf_ann": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.qv, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank "
+            "FROM scored) "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"
         ),
         "token_stats": (
             "SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens, "

@@ -81,6 +81,36 @@ def pip_join(
     from . import udfs
 
     poly_key = [c for c in polygons.columns if c != geometry_col][0]
+    attr_cols = [c for c in polygons.columns if c != geometry_col]
+    pts = points.withColumn(
+        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
+    )
+    if broadcast:
+        # broadcast path: the polygon side is the declared-small dim
+        # side, so one collect powers EVERYTHING — key validation, cover
+        # cells computed in-process by the kernel (Spark builds broadcast
+        # relations on the driver the same way), and the fused
+        # encode+join+refine single-pass map (see pip_broadcast_fused).
+        rows = polygons.collect()
+        keys = [r[poly_key] for r in rows]
+        if validate_key and len(set(keys)) != len(keys):
+            raise ValueError(
+                f"pip_join: polygon key column '{poly_key}' must be unique "
+                f"({len(keys)} rows, {len(set(keys))} distinct keys)"
+            )
+        key_field = next(
+            f for f in polygons.schema.fields if f.name == poly_key
+        )
+        out = udfs.pip_broadcast_fused(
+            points, rows, poly_key, key_field, geometry_col,
+            resolution, lat_col, lng_col,
+        )
+        extra = [c for c in attr_cols if c != poly_key]
+        if extra:
+            out = out.join(
+                F.broadcast(polygons.select(*attr_cols)), poly_key
+            )
+        return out
     if validate_key:
         stats = polygons.agg(
             F.count("*").alias("n"), F.countDistinct(poly_key).alias("nd")
@@ -95,40 +125,14 @@ def pip_join(
     # own task — the UDF cost is per-polygon, not per-row-count
     spread = polygons.repartition(F.col(poly_key))
     poly_cells = spread.withColumn("_cells", cover(F.col(geometry_col))).select(
-        *[c for c in polygons.columns if c != geometry_col],
+        *attr_cols,
         F.explode("_cells").alias("_cell"),
     )
     # materialize the cover once: broadcast construction over a plan that
     # still contains the Python UDF re-evaluates it (measured ~5x cost)
     poly_cells = poly_cells.persist()
     poly_cells.count()
-    if broadcast:
-        poly_cells = F.broadcast(poly_cells)
-    pts = points.withColumn(
-        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
-    )
     cand = pts.join(poly_cells, "_cell", "inner")
-    if broadcast:
-        # exact refinement, broadcast path: geometry ships once per
-        # executor as a Spark broadcast variable (the polygon side is the
-        # declared-small dim side), so candidate rows carry only three
-        # scalar columns through Arrow — no per-row geometry allocation.
-        import numpy as np
-
-        geo_map = {
-            r[poly_key]: [
-                np.array([(p["lat"], p["lng"]) for p in ring], dtype=np.float64)
-                for ring in r[geometry_col]
-            ]
-            for r in polygons.select(poly_key, geometry_col).collect()
-        }
-        geo_bc = points.sparkSession.sparkContext.broadcast(geo_map)
-        refined = cand.filter(
-            udfs.point_in_broadcast_polygon_udf(geo_bc)(
-                F.col(lat_col), F.col(lng_col), F.col(poly_key)
-            )
-        )
-        return refined.drop("_cell")
     # non-broadcast path (arbitrarily large polygon sides): geometry
     # joins back to candidate rows only, flattened to array<double> +
     # ring lengths (Arrow moves flat doubles ~100x cheaper than nested

@@ -108,6 +108,105 @@ def point_in_flat_polygon_udf():
     return f
 
 
+def pip_broadcast_fused(
+    points,
+    poly_rows: list,
+    poly_key: str,
+    key_field,
+    geometry_col: str,
+    resolution: int,
+    lat_col: str,
+    lng_col: str,
+):
+    """Fused broadcast PIP: encode + cover-cell hash join + exact
+    ray-cast refine in ONE mapInPandas pass over the points.
+
+    The polygon side (cover cells sorted for searchsorted matching, ring
+    arrays) ships once per executor as a Spark broadcast — the same data
+    movement as a BroadcastHashJoin, but with a single Python eval node
+    instead of two UDF stages around a JVM join, so each Arrow batch is
+    touched exactly once. Returns points columns + `poly_key`.
+    """
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    from ..functions import _rings_from_raw
+    from ..kernel import geo as kgeo
+    from ..kernel import polygon as pg
+
+    keys: list = []
+    rings_list: list = []
+    covers: list = []
+    for r in poly_rows:
+        raw = r[geometry_col]
+        if raw is None or len(raw) == 0:
+            continue
+        keys.append(r[poly_key])
+        rings_list.append(
+            [
+                np.array([(p["lat"], p["lng"]) for p in ring], dtype=np.float64)
+                for ring in raw
+            ]
+        )
+        covers.append(pg.polygon_cover_cells(_rings_from_raw(raw), resolution))
+    if covers:
+        cover_cells = np.concatenate(covers).astype(np.uint64)
+        cover_poly = np.repeat(
+            np.arange(len(covers), dtype=np.int64),
+            [len(c) for c in covers],
+        )
+        order = np.argsort(cover_cells, kind="stable")
+        cover_cells = cover_cells[order]
+        cover_poly = cover_poly[order]
+    else:
+        cover_cells = np.array([], dtype=np.uint64)
+        cover_poly = np.array([], dtype=np.int64)
+    bc = points.sparkSession.sparkContext.broadcast(
+        (cover_cells, cover_poly, keys, rings_list)
+    )
+    out_schema = StructType(list(points.schema.fields) + [key_field])
+    in_cols = [f.name for f in points.schema.fields]
+
+    def fn(batches):
+        cc, cp, ks, rl = bc.value
+        karr = np.asarray(ks, dtype=object)
+        for pdf in batches:
+            la = pdf[lat_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = pdf[lng_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            valid = ~(np.isnan(la) | np.isnan(lo))
+            cells = np.full(len(la), np.uint64(0xFFFFFFFFFFFFFFFF))
+            if valid.any():
+                cells[valid] = kgeo.latlng_to_cell(
+                    la[valid], lo[valid], resolution
+                )
+            left = np.searchsorted(cc, cells, side="left")
+            right = np.searchsorted(cc, cells, side="right")
+            counts = right - left
+            total = int(counts.sum())
+            if total == 0:
+                yield pdf.iloc[:0].assign(**{poly_key: []})[
+                    in_cols + [poly_key]
+                ]
+                continue
+            rows_idx = np.repeat(np.arange(len(cells)), counts)
+            base = np.repeat(np.cumsum(counts) - counts, counts)
+            flat_pos = np.repeat(left, counts) + (np.arange(total) - base)
+            poly_idx = cp[flat_pos]
+            keep = np.zeros(total, dtype=bool)
+            pla = la[rows_idx]
+            plo = lo[rows_idx]
+            for g in np.unique(poly_idx):
+                m = poly_idx == g
+                keep[m] = pg.points_in_rings(pla[m], plo[m], rl[g])
+            rows_idx = rows_idx[keep]
+            poly_idx = poly_idx[keep]
+            out = pdf.iloc[rows_idx].copy()
+            out[poly_key] = karr[poly_idx]
+            yield out[in_cols + [poly_key]]
+
+    return points.mapInPandas(fn, out_schema)
+
+
 def point_in_broadcast_polygon_udf(geo_bc):
     """(lat, lng, poly_key) -> bool with geometry from a Spark broadcast
     variable {key: [ring arrays]}. Only three scalar columns cross Arrow
