@@ -172,20 +172,143 @@ def knn_join(
     q_lng: str = "lng",
     p_lat: str = "lat",
     p_lng: str = "lng",
+    broadcast_threshold: int = 1024,
 ) -> DataFrame:
     """Exact kNN join. Output: (query_id, point_id, dist_km, rank).
+    Deterministic tie-break: (dist_km, point_id) ascending.
 
-    Ring expansion at `resolution`; queries still unsatisfied escalate to
-    coarser resolutions (cells ~18x wider per step), and any final
-    stragglers fall back to a brute-force cross join — so results are
-    exact for every density regime while dense regions never scan beyond
-    a few rings. Deterministic tie-break: (dist_km, point_id) ascending.
+    Two physical strategies, chosen by query-side size:
 
-    The per-round satisfied-query set stays a DataFrame: completion is
-    a broadcast semi-join (keep done rows) + anti-join (prune remaining
-    queries) — no id list ever reaches the driver, so query sets of any
-    size work. Only scalar counts cross to the driver (loop control).
+    * <= `broadcast_threshold` queries (the common analytics case): the
+      ring-distance-labeled disks of every query cell are computed
+      in-process by the kernel and broadcast; ONE join against the
+      points' cells + one window yields candidates with an exactness
+      certificate (kth distance within the covered ring margin).
+      Stragglers (sparse regions) fall through to the iterative path.
+    * larger query sides: iterative ring expansion at `resolution`,
+      escalating to coarser resolutions, brute-force for final
+      stragglers — exact in every density regime. The satisfied-query
+      set stays a DataFrame (broadcast semi/anti-joins); only scalar
+      counts reach the driver.
     """
+    n_q = queries.count()
+    if 0 < n_q <= broadcast_threshold:
+        return _knn_broadcast(
+            queries, points, k, resolution,
+            query_id, point_id, q_lat, q_lng, p_lat, p_lng,
+        )
+    return _knn_iterative(
+        queries, points, k, resolution,
+        query_id, point_id, q_lat, q_lng, p_lat, p_lng,
+    )
+
+
+def _knn_broadcast(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    resolution: int,
+    query_id: str,
+    point_id: str,
+    q_lat: str,
+    q_lng: str,
+    p_lat: str,
+    p_lng: str,
+    max_ring: int = 8,
+) -> DataFrame:
+    """Fused small-query-side kNN: broadcast ring-labeled query disks,
+    one equi-join + one window; exact-by-certificate, iterative fallback
+    for queries the `max_ring` disk cannot certify."""
+    import numpy as np
+
+    from ..kernel import geo as kgeo
+    from ..kernel import index as ixk
+    from ..kernel import traversal as tv
+
+    qrows = queries.select(query_id, q_lat, q_lng).collect()
+    qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
+    qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
+    qcells = kgeo.latlng_to_cell(qla, qlo, resolution)
+    disk_rows = []
+    for r in range(max_ring + 1):
+        o, c = tv.grid_ring_grouped(qcells, r)
+        strs = ixk.int_to_str(c)
+        for oi, cs in zip(o.tolist(), strs.tolist()):
+            disk_rows.append(
+                (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
+            )
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(
+        disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"]
+    )
+    cell = H3F.latlng_to_cell_udf(resolution)
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(p_lat).alias("_plat"),
+        F.col(p_lng).alias("_plng"),
+    ).withColumn("_cell0", cell(F.col("_plat"), F.col("_plng")))
+    cand = pts.join(F.broadcast(qdf), "_cell0").withColumn(
+        "_dist",
+        haversine_km(
+            F.col("_qlat"), F.col("_qlng"), F.col("_plat"), F.col("_plng")
+        ),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_dist").asc(), F.col("_pid").asc())
+    topk = (
+        cand.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .persist()
+    )
+    # exactness certificate: every point outside the max_ring disk is at
+    # haversine >= (max_ring-1) * min cell width
+    margin = (max_ring - 1) * min_cell_width_km(resolution)
+    per_q = topk.groupBy("_qid").agg(
+        F.count("*").alias("_n"), F.max("_dist").alias("_kth")
+    )
+    safe = (
+        per_q.filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(margin)))
+        .select("_qid")
+        .persist()
+    )
+    n_safe = safe.count()
+    done = (
+        topk.join(F.broadcast(safe), "_qid", "semi")
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_pid").alias(point_id),
+            F.col("_dist").alias("dist_km"),
+            F.col("_rank").alias("rank"),
+        )
+        .persist()
+    )
+    done.count()
+    topk.unpersist()
+    if n_safe == len(qrows):
+        return done
+    stragglers = queries.join(
+        F.broadcast(safe.withColumnRenamed("_qid", query_id)),
+        query_id,
+        "anti",
+    )
+    rest = _knn_iterative(
+        stragglers, points, k, resolution,
+        query_id, point_id, q_lat, q_lng, p_lat, p_lng,
+    )
+    return done.unionByName(rest)
+
+
+def _knn_iterative(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    resolution: int,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    q_lat: str = "lat",
+    q_lng: str = "lng",
+    p_lat: str = "lat",
+    p_lng: str = "lng",
+) -> DataFrame:
     from . import udfs
 
     cell = H3F.latlng_to_cell_udf(resolution)

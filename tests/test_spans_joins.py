@@ -138,6 +138,22 @@ class TestKnnJoin:
         assert got.count() == 0
         assert set(got.columns) == {"query_id", "point_id", "dist_km", "rank"}
 
+    def test_knn_broadcast_equals_iterative(self, spark):
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(sdf).select(
+            F.col("doc_id").alias("point_id"), "lat", "lng"
+        )
+        queries = spark.createDataFrame(
+            [Row(query_id=1, lat=40.75, lng=-73.99),
+             Row(query_id=2, lat=51.5, lng=-0.1)]
+        )
+        fast = joins.knn_join(queries, pts, k=4, resolution=5)
+        slow = joins.knn_join(
+            queries, pts, k=4, resolution=5, broadcast_threshold=0
+        )
+        key = lambda rows: {(r.query_id, r.rank): r.point_id for r in rows}
+        assert key(fast.collect()) == key(slow.collect())
+
     def test_knn_matches_bruteforce(self, spark):
         import math
 
