@@ -30,44 +30,6 @@ def polyfill_cover_udf(res: int):
     return f
 
 
-def point_in_polygon_udf():
-    """(lat, lng, polygon rings) -> bool, exact even-odd ray cast.
-
-    Rows sharing a polygon within the Arrow batch are grouped so the ray
-    cast runs vectorized per polygon.
-    """
-
-    @F.pandas_udf(BooleanType())
-    def f(lat: pd.Series, lng: pd.Series, poly: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..functions import _rings_from_raw
-        from ..kernel import polygon as pg
-
-        n = len(lat)
-        out = np.zeros(n, dtype=bool)
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lng.to_numpy(dtype=np.float64)
-        # group rows by polygon identity (repr of first ring head is a
-        # cheap stable key; collisions only cost a second pass)
-        groups: dict = {}
-        for i, raw in enumerate(poly):
-            if raw is None or len(raw) == 0:
-                continue
-            key = id(raw) if not isinstance(raw, (list, tuple)) else None
-            if key is None:
-                p0 = raw[0][0]
-                key = (len(raw), len(raw[0]), p0["lat"], p0["lng"])
-            groups.setdefault(key, (raw, []))[1].append(i)
-        for raw, idxs in groups.values():
-            rings = _rings_from_raw(raw)
-            ii = np.array(idxs, dtype=np.int64)
-            out[ii] = pg.points_in_rings(la[ii], lo[ii], rings)
-        return pd.Series(out)
-
-    return f
-
-
 def point_in_flat_polygon_udf():
     """(lat, lng, poly_key, flat_coords, ring_lens) -> bool.
 
@@ -75,7 +37,9 @@ def point_in_flat_polygon_udf():
     ([lat0,lng0,lat1,lng1,...] + per-ring lengths) — Arrow moves flat
     doubles ~100x cheaper than nested array<array<struct>> rows, and the
     even-odd ray cast parses each polygon once per (batch, key) group,
-    then runs vectorized over all of that group's points.
+    then runs vectorized over all of that group's points. Used by the
+    non-broadcast (shuffle) PIP path, where no driver collect is
+    allowed.
     """
 
     @F.pandas_udf(BooleanType())
@@ -205,62 +169,6 @@ def pip_broadcast_fused(
             yield out[in_cols + [poly_key]]
 
     return points.mapInPandas(fn, out_schema)
-
-
-def point_in_broadcast_polygon_udf(geo_bc):
-    """(lat, lng, poly_key) -> bool with geometry from a Spark broadcast
-    variable {key: [ring arrays]}. Only three scalar columns cross Arrow
-    per candidate row — the allocation-light shape for the broadcast
-    (small polygon side) case; the ray cast runs vectorized per
-    (batch, key) group."""
-
-    @F.pandas_udf(BooleanType())
-    def f(lat: pd.Series, lng: pd.Series, key: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..kernel import polygon as pg
-
-        geo_map = geo_bc.value
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lng.to_numpy(dtype=np.float64)
-        out = np.zeros(len(la), dtype=bool)
-        codes, uniques = pd.factorize(key, use_na_sentinel=True)
-        for g, kval in enumerate(uniques):
-            rings = geo_map.get(kval)
-            if rings is None:
-                continue
-            ii = np.where(codes == g)[0]
-            out[ii] = pg.points_in_rings(la[ii], lo[ii], rings)
-        return pd.Series(out)
-
-    return f
-
-
-def point_in_keyed_polygon_udf(geo_map: dict):
-    """(lat, lng, poly_key) -> bool. Polygon rings ship in the closure
-    (small side); the even-odd ray cast runs vectorized per polygon group
-    within each Arrow batch — no per-row Python."""
-
-    @F.pandas_udf(BooleanType())
-    def f(lat: pd.Series, lng: pd.Series, key: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..kernel import polygon as pg
-
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lng.to_numpy(dtype=np.float64)
-        out = np.zeros(len(la), dtype=bool)
-        karr = key.to_numpy(dtype=object)
-        for kval in pd.unique(karr):
-            rings = geo_map.get(kval)
-            if rings is None:
-                continue
-            rr = [np.asarray(r, dtype=np.float64) for r in rings]
-            ii = np.where(karr == kval)[0]
-            out[ii] = pg.points_in_rings(la[ii], lo[ii], rr)
-        return pd.Series(out)
-
-    return f
 
 
 def k_ring_udf_int(k: int):
