@@ -59,9 +59,14 @@ def main() -> None:
     pts = spark.createDataFrame([(1, 40.0, -74.0)], ["id", "lat", "lng"])
     pj = joins.pip_join(pts, E._rect_polys(spark), 4)
     pp = pj._jdf.queryExecution().executedPlan().toString()
-    print("== pip_join strategy ==")
-    print("  BroadcastHashJoin:", "BroadcastHashJoin" in pp)
-    print("  SortMergeJoin:", "SortMergeJoin" in pp)
+    print("== pip_join strategy (broadcast: fused single-pass map) ==")
+    print("  point-side Exchange (shuffle):", "Exchange hashpartitioning" in pp)
+    print("  Python eval nodes:", pp.count("MapInPandas"))
+    pj_nb = joins.pip_join(pts, E._rect_polys(spark), 4, broadcast=False)
+    pp_nb = pj_nb._jdf.queryExecution().executedPlan().toString()
+    print("== pip_join strategy (non-broadcast: shuffle join) ==")
+    print("  SortMergeJoin/ShuffledHashJoin:",
+          "SortMergeJoin" in pp_nb or "ShuffledHashJoin" in pp_nb)
 
     from sparkh3.operators import similarity, textops
 

@@ -290,10 +290,37 @@ def _knn_broadcast(
         query_id,
         "anti",
     )
-    rest = _knn_iterative(
-        stragglers, points, k, resolution,
-        query_id, point_id, q_lat, q_lng, p_lat, p_lng,
-    )
+    n_strag = len(qrows) - n_safe
+    if n_strag <= 32:
+        # few uncertified (sparse-region) queries: ONE broadcast
+        # nested-loop pass over the points beats several ring-join
+        # rounds that each rescan the points anyway
+        sq = stragglers.select(
+            F.col(query_id).alias("_qid"),
+            F.col(q_lat).alias("_qlat"),
+            F.col(q_lng).alias("_qlng"),
+        )
+        cand2 = pts.crossJoin(F.broadcast(sq)).withColumn(
+            "_dist",
+            haversine_km(
+                F.col("_qlat"), F.col("_qlng"), F.col("_plat"), F.col("_plng")
+            ),
+        )
+        rest = (
+            cand2.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_pid").alias(point_id),
+                F.col("_dist").alias("dist_km"),
+                F.col("_rank").alias("rank"),
+            )
+        )
+    else:
+        rest = _knn_iterative(
+            stragglers, points, k, resolution,
+            query_id, point_id, q_lat, q_lng, p_lat, p_lng,
+        )
     return done.unionByName(rest)
 
 
