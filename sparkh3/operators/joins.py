@@ -52,10 +52,29 @@ def min_cell_width_km(res: int) -> float:
     return 2.0 * inr
 
 
+def adaptive_cover_res(
+    rings, target_cells: int = 120, max_res: int = 9
+) -> int:
+    """Cover resolution sized to a polygon: the coarsest res whose mean
+    hex area keeps the cover around `target_cells` cells (bbox estimate).
+    Big polygons get coarse covers, small polygons fine cells — neither
+    a huge broadcast table nor a fat-cell candidate explosion."""
+    lats = [p[0] for ring in rings for p in ring]
+    lngs = [p[1] for ring in rings for p in ring]
+    dlat = max(max(lats) - min(lats), 1e-6)
+    dlng = max(max(lngs) - min(lngs), 1e-6)
+    mid = math.radians((max(lats) + min(lats)) / 2.0)
+    area = dlat * 111.19 * dlng * 111.19 * max(math.cos(mid), 0.05)
+    for r in range(max_res + 1):
+        if _avg_hex_area_km2(r) <= area / target_cells:
+            return r
+    return max_res
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
-    resolution: int,
+    resolution: int | None = None,
     lat_col: str = "lat",
     lng_col: str = "lng",
     geometry_col: str = "geometry",
@@ -66,25 +85,23 @@ def pip_join(
     columns except its geometry.
 
     Scale shape: with ``broadcast=True`` (default — the polygon side is
-    the declared-small dim side) the cover join is a BroadcastHashJoin
-    (the 100 TB point side never shuffles) and refinement geometry ships
-    once per executor as a Spark broadcast variable, so candidate rows
-    carry only scalar columns through Arrow. With ``broadcast=False``
-    NOTHING is ever collected to the driver: the cover joins by shuffle
-    and refinement geometry joins back by key as flat coord arrays, so
-    arbitrarily large polygon sides work. The polygon key (first
-    non-geometry column) must be unique — a duplicate key would
-    mis-multiply candidates, so we validate it (``validate_key=False``
-    skips the one-job check when the caller already guarantees
-    uniqueness, e.g. keys from a groupBy).
+    the declared-small dim side) the whole join runs as ONE fused
+    vectorized pass over the points (encode + broadcast cover match +
+    exact ray cast; the 100 TB point side never shuffles), and
+    ``resolution=None`` (default) sizes each polygon's cover resolution
+    adaptively to its footprint. With ``broadcast=False`` NOTHING is
+    ever collected to the driver: the cover joins by shuffle and
+    refinement geometry joins back by key as flat coord arrays, so
+    arbitrarily large polygon sides work (an explicit ``resolution`` is
+    required there). The polygon key (first non-geometry column) must be
+    unique — a duplicate key would mis-multiply candidates, so we
+    validate it (``validate_key=False`` skips the one-job check when the
+    caller already guarantees uniqueness, e.g. keys from a groupBy).
     """
     from . import udfs
 
     poly_key = [c for c in polygons.columns if c != geometry_col][0]
     attr_cols = [c for c in polygons.columns if c != geometry_col]
-    pts = points.withColumn(
-        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
-    )
     if broadcast:
         # broadcast path: the polygon side is the declared-small dim
         # side, so one collect powers EVERYTHING — key validation, cover
@@ -101,9 +118,22 @@ def pip_join(
         key_field = next(
             f for f in polygons.schema.fields if f.name == poly_key
         )
+        if resolution is None:
+            # adaptive covers: size each polygon's cover resolution to
+            # its own footprint (resolution=None is the default path)
+            res_list = [
+                adaptive_cover_res(
+                    [[(p["lat"], p["lng"]) for p in ring] for ring in r[geometry_col]]
+                )
+                if r[geometry_col]
+                else 0
+                for r in rows
+            ]
+        else:
+            res_list = [resolution] * len(rows)
         out = udfs.pip_broadcast_fused(
             points, rows, poly_key, key_field, geometry_col,
-            resolution, lat_col, lng_col,
+            res_list, lat_col, lng_col,
         )
         extra = [c for c in attr_cols if c != poly_key]
         if extra:
@@ -111,6 +141,10 @@ def pip_join(
                 F.broadcast(polygons.select(*attr_cols)), poly_key
             )
         return out
+    if resolution is None:
+        raise ValueError(
+            "pip_join(broadcast=False) needs an explicit cover resolution"
+        )
     if validate_key:
         stats = polygons.agg(
             F.count("*").alias("n"), F.countDistinct(poly_key).alias("nd")
@@ -120,6 +154,9 @@ def pip_join(
                 f"pip_join: polygon key column '{poly_key}' must be unique "
                 f"({stats['n']} rows, {stats['nd']} distinct keys)"
             )
+    pts = points.withColumn(
+        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
+    )
     cover = udfs.polyfill_cover_udf(resolution)
     # spread the polygon side by key so each cover computation gets its
     # own task — the UDF cost is per-polygon, not per-row-count

@@ -78,30 +78,38 @@ def pip_broadcast_fused(
     poly_key: str,
     key_field,
     geometry_col: str,
-    resolution: int,
+    resolutions: list,
     lat_col: str,
     lng_col: str,
 ):
     """Fused broadcast PIP: encode + cover-cell hash join + exact
     ray-cast refine in ONE mapInPandas pass over the points.
 
-    The polygon side (cover cells sorted for searchsorted matching, ring
-    arrays) ships once per executor as a Spark broadcast — the same data
-    movement as a BroadcastHashJoin, but with a single Python eval node
-    instead of two UDF stages around a JVM join, so each Arrow batch is
-    touched exactly once. Returns points columns + `poly_key`.
+    The polygon side (per-resolution sorted cover-cell arrays for
+    searchsorted matching, ring arrays) ships once per executor as a
+    Spark broadcast — the same data movement as a BroadcastHashJoin, but
+    with a single Python eval node instead of two UDF stages around a
+    JVM join, so each Arrow batch is touched exactly once.
+
+    `resolutions` gives the cover resolution PER polygon (adaptive
+    covers: big polygons use coarse cells, small ones fine cells without
+    blowing up either side). Points encode once at the finest level;
+    coarser levels match on the point cell's ancestor (vectorized bit
+    math). Returns points columns + `poly_key`.
     """
     import numpy as np
     from pyspark.sql.types import StructType
 
     from ..functions import _rings_from_raw
     from ..kernel import geo as kgeo
+    from ..kernel import index as kix
     from ..kernel import polygon as pg
 
     keys: list = []
     rings_list: list = []
     covers: list = []
-    for r in poly_rows:
+    res_list: list = []
+    for r, res_p in zip(poly_rows, resolutions):
         raw = r[geometry_col]
         if raw is None or len(raw) == 0:
             continue
@@ -112,51 +120,65 @@ def pip_broadcast_fused(
                 for ring in raw
             ]
         )
-        covers.append(pg.polygon_cover_cells(_rings_from_raw(raw), resolution))
+        covers.append(pg.polygon_cover_cells(_rings_from_raw(raw), res_p))
+        res_list.append(res_p)
+    levels = []
     if covers:
-        cover_cells = np.concatenate(covers).astype(np.uint64)
-        cover_poly = np.repeat(
-            np.arange(len(covers), dtype=np.int64),
-            [len(c) for c in covers],
-        )
-        order = np.argsort(cover_cells, kind="stable")
-        cover_cells = cover_cells[order]
-        cover_poly = cover_poly[order]
+        res_fine = max(res_list)
+        for lvl in sorted(set(res_list)):
+            cc = np.concatenate(
+                [c for c, rp in zip(covers, res_list) if rp == lvl]
+            ).astype(np.uint64)
+            cp = np.repeat(
+                np.array(
+                    [i for i, rp in enumerate(res_list) if rp == lvl],
+                    dtype=np.int64,
+                ),
+                [len(c) for c, rp in zip(covers, res_list) if rp == lvl],
+            )
+            order = np.argsort(cc, kind="stable")
+            levels.append((lvl, cc[order], cp[order]))
     else:
-        cover_cells = np.array([], dtype=np.uint64)
-        cover_poly = np.array([], dtype=np.int64)
+        res_fine = 0
     bc = points.sparkSession.sparkContext.broadcast(
-        (cover_cells, cover_poly, keys, rings_list)
+        (levels, res_fine, keys, rings_list)
     )
     out_schema = StructType(list(points.schema.fields) + [key_field])
     in_cols = [f.name for f in points.schema.fields]
 
     def fn(batches):
-        cc, cp, ks, rl = bc.value
+        lvls, rf, ks, rl = bc.value
         karr = np.asarray(ks, dtype=object)
         for pdf in batches:
             la = pdf[lat_col].to_numpy(dtype=np.float64, na_value=np.nan)
             lo = pdf[lng_col].to_numpy(dtype=np.float64, na_value=np.nan)
             valid = ~(np.isnan(la) | np.isnan(lo))
-            cells = np.full(len(la), np.uint64(0xFFFFFFFFFFFFFFFF))
-            if valid.any():
-                cells[valid] = kgeo.latlng_to_cell(
-                    la[valid], lo[valid], resolution
-                )
-            left = np.searchsorted(cc, cells, side="left")
-            right = np.searchsorted(cc, cells, side="right")
-            counts = right - left
-            total = int(counts.sum())
-            if total == 0:
+            rows_parts = []
+            poly_parts = []
+            if valid.any() and lvls:
+                cells = kgeo.latlng_to_cell(la[valid], lo[valid], rf)
+                vidx = np.where(valid)[0]
+                for lvl, cc, cp in lvls:
+                    anc = cells if lvl == rf else kix.cell_to_parent(cells, lvl)
+                    left = np.searchsorted(cc, anc, side="left")
+                    right = np.searchsorted(cc, anc, side="right")
+                    counts = right - left
+                    total = int(counts.sum())
+                    if total == 0:
+                        continue
+                    ridx = np.repeat(np.arange(len(anc)), counts)
+                    base = np.repeat(np.cumsum(counts) - counts, counts)
+                    flat = np.repeat(left, counts) + (np.arange(total) - base)
+                    rows_parts.append(vidx[ridx])
+                    poly_parts.append(cp[flat])
+            if not rows_parts:
                 yield pdf.iloc[:0].assign(**{poly_key: []})[
                     in_cols + [poly_key]
                 ]
                 continue
-            rows_idx = np.repeat(np.arange(len(cells)), counts)
-            base = np.repeat(np.cumsum(counts) - counts, counts)
-            flat_pos = np.repeat(left, counts) + (np.arange(total) - base)
-            poly_idx = cp[flat_pos]
-            keep = np.zeros(total, dtype=bool)
+            rows_idx = np.concatenate(rows_parts)
+            poly_idx = np.concatenate(poly_parts)
+            keep = np.zeros(len(rows_idx), dtype=bool)
             pla = la[rows_idx]
             plo = lo[rows_idx]
             for g in np.unique(poly_idx):
@@ -164,6 +186,9 @@ def pip_broadcast_fused(
                 keep[m] = pg.points_in_rings(pla[m], plo[m], rl[g])
             rows_idx = rows_idx[keep]
             poly_idx = poly_idx[keep]
+            order = np.argsort(rows_idx, kind="stable")
+            rows_idx = rows_idx[order]
+            poly_idx = poly_idx[order]
             out = pdf.iloc[rows_idx].copy()
             out[poly_key] = karr[poly_idx]
             yield out[in_cols + [poly_key]]

@@ -105,6 +105,9 @@ class TestPipJoin:
         # no driver collect) produces identical rows
         got_nb = joins.pip_join(pts, polys, resolution=5, broadcast=False)
         assert {(r.doc_id, r.poly_id) for r in got_nb.collect()} == truth
+        # adaptive per-polygon cover resolution (default) is also exact
+        got_ad = joins.pip_join(pts, polys)
+        assert {(r.doc_id, r.poly_id) for r in got_ad.collect()} == truth
 
     def test_pip_join_duplicate_key_raises(self, spark):
         ring = [
