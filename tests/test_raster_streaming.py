@@ -86,3 +86,50 @@ class TestStreaming:
         # the first window (2 events, same cell) must be present & closed
         assert any(n == 2 for n in got.values())
         assert snap["total_rows"] >= 1
+
+    def test_stateful_cell_totals_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState keeps per-cell running totals across
+        micro-batches: batch 2's emission includes batch 1's rows."""
+        from sparkh3.streaming import stateful
+
+        src = tmp_path / "src2"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [Row(lat=50.0, lng=14.0, value=2.0),
+             Row(lat=50.0, lng=14.0, value=3.0)]
+        )
+        b1.write.parquet(str(src / "b1"))
+        stream = spark.readStream.schema(b1.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        out = stateful.stateful_cell_totals(stream, 7)
+
+        def run_available():
+            rows: list = []
+
+            def sink(bdf, bid):
+                rows.extend(bdf.collect())
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt2"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return rows
+
+        first = {
+            r.cell: (r.n_total, r.sum_value) for r in run_available()
+        }
+        assert list(first.values()) == [(2, 5.0)]
+        cell = next(iter(first))
+        # second batch, same cell: totals must ACCUMULATE via state
+        spark.createDataFrame(
+            [Row(lat=50.0, lng=14.0, value=10.0)]
+        ).write.parquet(str(src / "b2"))
+        got = {
+            r.cell: (r.n_total, r.sum_value) for r in run_available()
+        }
+        assert got[cell] == (3, 15.0)
