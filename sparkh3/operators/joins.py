@@ -198,6 +198,36 @@ def pip_join(
     return refined.drop("_cell", "_pcoords", "_prlens")
 
 
+def write_bucketed(
+    df: DataFrame, table: str, cell_col: str, n_buckets: int = 64
+) -> None:
+    """Persist a table bucketed + sorted by its H3 cell column — the
+    co-location contract for repeated cell joins at 100 TB: every join
+    between two tables bucketed (same column, same bucket count) plans
+    with NO Exchange and NO Sort on either side."""
+    (
+        df.write.bucketBy(n_buckets, cell_col)
+        .sortBy(cell_col)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_cell_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    cell_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two pre-bucketed tables on their shared cell column —
+    shuffle-free by construction (verify: no `Exchange` in the plan)."""
+    return spark.table(left_table).join(
+        spark.table(right_table), cell_col, how
+    )
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
