@@ -252,8 +252,22 @@ def is_valid_cell(h: np.ndarray) -> np.ndarray:
     return ok
 
 
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+# codepoint -> nibble value; 255 marks a non-hex character
+_HEX_LOOKUP = np.full(128, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LOOKUP[_c] = _i
+for _i, _c in enumerate(b"ABCDEF"):
+    _HEX_LOOKUP[_c] = 10 + _i
+
+
 def str_to_int(cells) -> np.ndarray:
-    """Hex string H3 address(es) -> uint64. Invalid strings -> 0."""
+    """Hex string H3 address(es) -> uint64. Invalid strings -> 0.
+
+    Vectorized fast path for the canonical all-15-char case (one
+    codepoint-table pass — this feeds every string-cell UDF); per-item
+    fallback for mixed lengths / non-strings.
+    """
 
     def one(s) -> int:
         try:
@@ -265,12 +279,60 @@ def str_to_int(cells) -> np.ndarray:
     arr = np.asarray(cells, dtype=object)
     if arr.ndim == 0:
         return np.uint64(one(arr.item()))
+    try:
+        su = np.asarray(arr, dtype="U24")
+    except (TypeError, ValueError):
+        su = None
+    if su is not None and su.dtype == np.dtype("<U24"):
+        cp24 = su.view(np.uint32).reshape(len(su), 24)
+        # a row qualifies only when its TRUE length is exactly 15 (NUL
+        # padding from 15 on; anything longer was truncated at 24 and
+        # fails this check, falling back to the per-item parse of the
+        # ORIGINAL value)
+        is15 = (cp24[:, 14] != 0) & np.all(cp24[:, 15:] == 0, axis=1)
+        cp = cp24[:, :15]
+        # uint8 lookup (codepoints >=128 alias mod 128 but such rows are
+        # excluded by the cp<128 validity check below); small temporaries
+        # sidestep this host's first-touch page-fault cost
+        nib = _HEX_LOOKUP[cp.astype(np.uint8) & 0x7F]
+        good = is15 & np.all((cp > 0) & (cp < 128) & (nib != 255), axis=1)
+        if good.all():
+            out = np.zeros(len(su), dtype=np.uint64)
+            for i in range(15):
+                out = (out << np.uint64(4)) | nib[:, i].astype(np.uint64)
+            return out
+        # mixed validity: vectorize the good rows, fallback for the rest
+        out = np.zeros(len(su), dtype=np.uint64)
+        g = np.where(good)[0]
+        acc = np.zeros(len(g), dtype=np.uint64)
+        for i in range(15):
+            acc = (acc << np.uint64(4)) | nib[g, i].astype(np.uint64)
+        out[g] = acc
+        for i in np.where(~good)[0]:
+            out[i] = one(arr[i])
+        return out
     return np.fromiter((one(s) for s in arr), dtype=np.uint64, count=arr.size)
 
 
 def int_to_str(h: np.ndarray) -> np.ndarray:
-    """uint64 -> lowercase hex string (no padding; cells are 15 chars)."""
+    """uint64 -> lowercase hex string (no padding; cells are 15 chars).
+
+    Vectorized: 15 nibble-lookup columns -> one S15 byte view -> one
+    ascii decode (valid cells are always 15 hex chars; rarities fall
+    back to format())."""
     arr = np.atleast_1d(_asarray(h))
+    if len(arr) == 0:
+        return np.array([], dtype=object)
+    if arr.min() >= np.uint64(1) << np.uint64(56):
+        n = len(arr)
+        out = np.empty((n, 15), dtype=np.uint8)
+        for i in range(15):
+            shift = np.uint64(4 * (14 - i))
+            out[:, i] = _HEX_DIGITS[
+                ((arr >> shift) & np.uint64(0xF)).astype(np.int64)
+            ]
+        s15 = out.reshape(n * 15).view("S15")
+        return np.char.decode(s15, "ascii").astype(object)
     return np.array([format(int(v), "x") for v in arr], dtype=object)
 
 

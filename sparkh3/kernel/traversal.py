@@ -176,16 +176,44 @@ def grid_path(a: int, b: int) -> np.ndarray:
     from .constants import BASE_CELL_DATA
 
     bc_a = int(ix.get_base_cell(np.array([a], dtype=np.uint64))[0])
+    bc_b = int(ix.get_base_cell(np.array([b], dtype=np.uint64))[0])
     f = BASE_CELL_DATA[bc_a, 0]
     # exact lattice coords via the face unfold when available (canonical
-    # rounding frame); gnomonic projection as the long-range fallback
+    # rounding frame — matches the reference's origin-anchored ties)
     va = geo.cell_to_local_ijk(int(a), int(f))
     vb = geo.cell_to_local_ijk(int(b), int(f))
     unfolded = va is not None and vb is not None
     anchor = _base_anchor(bc_a, res)
+    if not unfolded:
+        # alternate exact frames: the cells' actual faces / b's home —
+        # the reference implementation simply ERRORS for these pairs
+        # (local IJK undefined), so any exact frame is parity-safe;
+        # anchor at `a` itself (ties have no golden here)
+        fijk_faces, _, _ = geo.cell_to_faceijk(
+            np.array([a, b], dtype=np.uint64)
+        )
+        cand_faces = []
+        for ff in (
+            int(fijk_faces[0]),
+            int(fijk_faces[1]),
+            int(BASE_CELL_DATA[bc_b, 0]),
+        ):
+            if ff != int(f) and ff not in cand_faces:
+                cand_faces.append(ff)
+        for ff in cand_faces:
+            va2 = geo.cell_to_local_ijk(int(a), ff)
+            vb2 = geo.cell_to_local_ijk(int(b), ff)
+            if va2 is not None and vb2 is not None:
+                f = ff
+                va, vb = va2, vb2
+                anchor = va2.copy()
+                unfolded = True
+                break
     if unfolded:
         ijk2 = np.stack([va, vb]) - anchor[None, :]
     else:
+        # long-range fallback: gnomonic extension of the home face
+        # (paths here span non-adjacent faces; the reference errors)
         lat, lng = geo.cell_to_latlng(np.array([a, b], dtype=np.uint64))
         pts = proj.geo_to_hex2d_on_face(
             np.radians(lat), np.radians(lng), np.full(2, f), res
