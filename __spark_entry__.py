@@ -518,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality": (
             "WITH t AS (SELECT doc_id, length(text) AS n_chars, "
-            "string_split(trim(text), ' ') AS toks FROM documents) "
+            "regexp_split_to_array(trim(text), ' +') AS toks FROM documents) "
             "SELECT doc_id, len(toks) AS n_tokens, "
             "round((n_chars - len(toks) + 1) / cast(len(toks) as double), 6) "
             "AS avg_word_len, "
@@ -529,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM t"
         ),
         "lang_id": (
-            "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks "
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks "
             "FROM documents), s AS (SELECT doc_id, "
             "len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS score_en, "
             "len(list_filter(toks, x -> x IN ('data','table','row','column','key'))) AS score_data, "
@@ -546,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(q.qv, e.embedding) AS sim "
             "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
             "ranked AS (SELECT query_id, vec_id, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank "
+            "(PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank "
             "FROM scored) "
             "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"
         ),
@@ -588,10 +588,10 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT doc_id AS id_b, text AS tb FROM documents), "
             "p AS (SELECT id_a, id_b, ta, tb FROM a JOIN b ON id_b = id_a + 1), "
             "g AS (SELECT id_a, id_b, "
-            "list_transform(range(1, greatest(len(string_split(trim(ta),' '))-2,1)+1), "
-            "i -> array_to_string(string_split(trim(ta),' ')[i:i+2], ' ')) AS ga, "
-            "list_transform(range(1, greatest(len(string_split(trim(tb),' '))-2,1)+1), "
-            "i -> array_to_string(string_split(trim(tb),' ')[i:i+2], ' ')) AS gb "
+            "list_transform(range(1, greatest(len(regexp_split_to_array(trim(ta), ' +'))-2,1)+1), "
+            "i -> array_to_string(regexp_split_to_array(trim(ta), ' +')[i:i+2], ' ')) AS ga, "
+            "list_transform(range(1, greatest(len(regexp_split_to_array(trim(tb), ' +'))-2,1)+1), "
+            "i -> array_to_string(regexp_split_to_array(trim(tb), ' +')[i:i+2], ' ')) AS gb "
             "FROM p) "
             "SELECT id_a, id_b, "
             "round(len(list_intersect(list_distinct(ga), list_distinct(gb))) / "
@@ -605,12 +605,12 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(q.qv, e.embedding) AS sim "
             "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
             "ranked AS (SELECT query_id, vec_id, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank "
+            "(PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank "
             "FROM scored) "
             "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"
         ),
         "token_stats": (
-            "SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens, "
+            "SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS n_tokens, "
             "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) "
             "AS n_tokens_bpe FROM documents"
         ),

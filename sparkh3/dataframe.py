@@ -59,7 +59,16 @@ def _grouped_agg(df: DataFrame, key: str, operation) -> DataFrame:
     if callable(operation) and not isinstance(operation, str):
         from .operators.grouped import apply_in_pandas_aggregate
 
-        value_cols = [c for c in df.columns if c != key]
+        # the applyInPandas schema types every aggregated column Double
+        # and calls float(fn(col)) — only numeric columns can ride it
+        # (pandas .agg(callable) drops/raises on non-numeric too; a
+        # string column like `lang` simply doesn't aggregate)
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        value_cols = [
+            c
+            for c, t in df.dtypes
+            if c != key and (t in numeric or t.startswith("decimal"))
+        ]
         return apply_in_pandas_aggregate(df, key, value_cols, operation)
     return df.groupBy(key).agg(*_agg_exprs(df, key, operation))
 

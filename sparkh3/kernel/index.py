@@ -323,7 +323,13 @@ def int_to_str(h: np.ndarray) -> np.ndarray:
     arr = np.atleast_1d(_asarray(h))
     if len(arr) == 0:
         return np.array([], dtype=object)
-    if arr.min() >= np.uint64(1) << np.uint64(56):
+    # 15-char fast path only when EVERY value prints as exactly 15 hex
+    # digits: >= 2^56 (15 digits minimum) AND < 2^60 (16 digits would be
+    # silently truncated to their low 15 nibbles — e.g. directed-edge
+    # mode bits or corrupted indexes must take the format() fallback)
+    if arr.min() >= np.uint64(1) << np.uint64(56) and arr.max() < (
+        np.uint64(1) << np.uint64(60)
+    ):
         n = len(arr)
         out = np.empty((n, 15), dtype=np.uint8)
         for i in range(15):

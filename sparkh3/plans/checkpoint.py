@@ -97,6 +97,16 @@ def run_stage(
         out_path = root / f"shard={k}"
         out.write.mode("overwrite").parquet(str(out_path))
         out.unpersist()
+        # the ledger's rows_out must describe the DURABLE output: verify
+        # the written files actually contain the counted rows before
+        # recording the shard as done (a partial/failed write must not
+        # be skipped as complete on resume)
+        written = spark.read.parquet(str(out_path)).count()
+        if written != rows_out:
+            raise RuntimeError(
+                f"checkpoint stage '{stage}' shard {k}: wrote {written} "
+                f"rows but transform produced {rows_out}"
+            )
         rec = {
             "shard": k,
             "rows_in": fp["rows"],
