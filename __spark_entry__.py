@@ -155,6 +155,29 @@ def q_parent_rollup_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-notebook parity: the chained multi-resolution 'mean'
+    re-aggregation (docs/source/notebook/01-unified-data-layers.ipynb
+    cells 35-41: h3_to_parent_aggregate(9,'mean') then (8,'mean')) —
+    here res 9 -> 7 -> 5 over synthetic valid cells so the mean-of-means
+    ladder is exactly reproducible by bit math in the DuckDB oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_li_chain")
+    cells = spark.sql(
+        f"SELECT lower(hex({_synth_cell_sql('l_orderkey')})) AS h3_09, "
+        "l_quantity FROM _li_chain"
+    )
+    mid = dfo.h3_to_parent_aggregate(
+        cells, 7, operation="mean", h3_col="h3_09", return_geometry=False
+    )
+    top = dfo.h3_to_parent_aggregate(
+        mid, 5, operation="mean", h3_col="h3_07", return_geometry=False
+    )
+    return top.select(
+        "h3_05", F.round(F.col("l_quantity"), 4).alias("mean_qty")
+    )
+
+
 def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact point-in-polygon join (H3 cover prejoin + ray-cast refine)
     vs a pure BETWEEN oracle."""
@@ -444,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_grid_aggregate": q_geo_grid_aggregate,
         "parent_rollup_bits": q_parent_rollup_bits,
+        "chained_rollup": q_chained_rollup,
         "pip_join_rect": q_pip_join_rect,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -497,6 +521,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT printf('%x', {parent}) AS h3_05, "
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem GROUP BY 1"
+        ),
+        "chained_rollup": (
+            # same bit math as the engine's h3_parent: clear the res
+            # nibble, set the new res, set every finer digit to 7
+            f"WITH p7 AS (SELECT (({synth} & {~(15 << 52)}) | {7 << 52} "
+            f"| {(1 << 24) - 1}) AS c7, avg(l_quantity) AS q "
+            "FROM lineitem GROUP BY 1), "
+            f"p5 AS (SELECT ((c7 & {~(15 << 52)}) | {5 << 52} "
+            f"| {(1 << 30) - 1}) AS c5, avg(q) AS mq FROM p7 GROUP BY 1) "
+            "SELECT printf('%x', c5) AS h3_05, round(mq, 4) AS mean_qty "
+            "FROM p5"
         ),
         "pip_join_rect": (
             f"WITH pts AS ({pts}), rects AS ({rect_union}) "

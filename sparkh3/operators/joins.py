@@ -80,6 +80,7 @@ def pip_join(
     geometry_col: str = "geometry",
     broadcast: bool = True,
     validate_key: bool = True,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Exact point-in-polygon join. Returns points columns + all polygon
     columns except its geometry.
@@ -108,7 +109,28 @@ def pip_join(
         # cells computed in-process by the kernel (Spark builds broadcast
         # relations on the driver the same way), and the fused
         # encode+join+refine single-pass map (see pip_broadcast_fused).
-        rows = polygons.collect()
+        # Guardrail: the collect is bounded at max_broadcast_rows + 1 —
+        # a misdeclared huge polygon side falls back to the shuffle path
+        # instead of OOMing the driver.
+        rows = polygons.limit(max_broadcast_rows + 1).collect()
+        if len(rows) > max_broadcast_rows:
+            if resolution is None:
+                # the shuffle path needs one explicit cover resolution:
+                # size it to the sampled polygons' footprints (median)
+                sampled = sorted(
+                    adaptive_cover_res(
+                        [
+                            [(p["lat"], p["lng"]) for p in ring]
+                            for ring in r[geometry_col]
+                        ]
+                    )
+                    for r in rows[:64]
+                    if r[geometry_col]
+                )
+                resolution = sampled[len(sampled) // 2] if sampled else 4
+            broadcast = False
+            rows = None
+    if broadcast:
         keys = [r[poly_key] for r in rows]
         if validate_key and len(set(keys)) != len(keys):
             raise ValueError(
@@ -258,11 +280,19 @@ def knn_join(
       set stays a DataFrame (broadcast semi/anti-joins); only scalar
       counts reach the driver.
     """
-    n_q = queries.count()
-    if 0 < n_q <= broadcast_threshold:
+    # one bounded limit-collect is BOTH the strategy-switch size probe
+    # and the broadcast input (no separate count job): > threshold rows
+    # means the extra collect work was one wasted row batch, not a scan
+    qrows = (
+        queries.select(query_id, q_lat, q_lng)
+        .limit(broadcast_threshold + 1)
+        .collect()
+    )
+    if 0 < len(qrows) <= broadcast_threshold:
         return _knn_broadcast(
             queries, points, k, resolution,
             query_id, point_id, q_lat, q_lng, p_lat, p_lng,
+            qrows=qrows,
         )
     return _knn_iterative(
         queries, points, k, resolution,
@@ -282,6 +312,7 @@ def _knn_broadcast(
     p_lat: str,
     p_lng: str,
     max_ring: int = 8,
+    qrows=None,
 ) -> DataFrame:
     """Fused small-query-side kNN: broadcast ring-labeled query disks,
     one equi-join + one window; exact-by-certificate, iterative fallback
@@ -292,7 +323,8 @@ def _knn_broadcast(
     from ..kernel import index as ixk
     from ..kernel import traversal as tv
 
-    qrows = queries.select(query_id, q_lat, q_lng).collect()
+    if qrows is None:
+        qrows = queries.select(query_id, q_lat, q_lng).collect()
     qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
     qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
     qcells = kgeo.latlng_to_cell(qla, qlo, resolution)

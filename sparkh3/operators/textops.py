@@ -106,15 +106,16 @@ def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_key: bool = False,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Exact duplicate groups: one keeper (min id) per distinct text.
 
-    ``hash_key=False`` groups on the raw text (exact, oracle semantics).
-    ``hash_key=True`` is the 100 TB shape: shuffle keys on a 128-bit
-    composite (2x xxhash64 seeds) so only (h1, h2, id) rides the
-    exchange — document text joins back for the keeper row only.
+    ``hash_key=True`` (default — the 100 TB shape): shuffle keys on a
+    128-bit composite (2x xxhash64 seeds) so only (h1, h2, id) rides
+    the exchange — document text joins back for the keeper row only.
     Collision probability at 10^12 docs is ~1e-14 (birthday, 128-bit).
+    ``hash_key=False`` groups on the raw text (the literal parity form,
+    verified equal by the oracle gate; text rides the shuffle).
     """
     if not hash_key:
         return df.groupBy(text_col).agg(

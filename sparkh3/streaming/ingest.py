@@ -47,6 +47,42 @@ def streaming_tile_counts(
     )
 
 
+def streaming_cell_sessions(
+    stream: DataFrame,
+    resolution: int,
+    gap: str = "1 minute",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-cell session windows: events in the same cell closer than
+    `gap` merge into one session (dynamic-length windows — the shape
+    fixed tumbling windows can't express). Watermark bounds how late an
+    event may extend a session; a session emits (append mode) once the
+    watermark passes its end + gap. State shards by the cell key, same
+    as the tumbling-window rollup."""
+    h3_col = f"h3_{resolution:02d}"
+    cells = stream.withColumn(
+        h3_col,
+        H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col)),
+    )
+    return (
+        cells.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(h3_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            h3_col,
+            "n_events",
+        )
+    )
+
+
 def start_tile_ingest(
     stream: DataFrame,
     resolution: int,

@@ -1,0 +1,103 @@
+"""Physical-plan regression gates for the 100 TB design claims
+(BENCH/BASELINE.md §4) — the assertions scripts/show_plans.py prints,
+promoted to pytest so a plan regression fails CI instead of relying on
+a manual run.
+
+Each test inspects the *executed* plan string:
+
+1. parent rollup is pure JVM bit math (no Python eval nodes),
+2. filters + column pruning reach the parquet scan through geo_to_h3,
+3. broadcast pip_join never shuffles the point side and runs exactly
+   one fused Python pass,
+4. minhash banding exchanges carry zero text columns,
+5. LSH-ANN computes all tables' signatures in one corpus pass
+   (bounded parquet scan count).
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from sparkh3 import dataframe as dfo
+from sparkh3.operators import joins, similarity, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parent_rollup_has_no_python_nodes(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.createOrReplaceTempView("_li_plan")
+    cells = spark.sql(
+        f"SELECT lower(hex({E._synth_cell_sql('l_orderkey')})) AS h3_09, "
+        "l_quantity FROM _li_plan"
+    )
+    rolled = dfo.h3_to_parent_aggregate(
+        cells, 5, operation={"l_quantity": "sum"}, h3_col="h3_09",
+        return_geometry=False,
+    )
+    plan = _plan(rolled)
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_filter_and_pruning_push_through_geo_to_h3(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    g = dfo.geo_to_h3(
+        ev.withColumn("lat", F.lit(1.0)).withColumn("lng", F.lit(2.0)), 7
+    )
+    q = g.filter(F.col("event_type") == "click").select("h3_07", "event_type")
+    plan = _plan(q)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "event_type" in m.group(1), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    # only the filter column should be read from parquet — the unused
+    # wide columns (event_id, user_id, value, ts...) must be pruned
+    assert m is not None and "event_type" in m.group(1)
+    assert "value" not in m.group(1) and "user_id" not in m.group(1), plan
+
+
+def test_broadcast_pip_join_is_one_fused_pass_no_point_shuffle(spark):
+    pts = spark.createDataFrame([(1, 40.0, -74.0)], ["id", "lat", "lng"])
+    pj = joins.pip_join(pts, E._rect_polys(spark), 4)
+    plan = _plan(pj)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_nonbroadcast_pip_join_uses_shuffle_join(spark):
+    pts = spark.createDataFrame([(1, 40.0, -74.0)], ["id", "lat", "lng"])
+    pj = joins.pip_join(pts, E._rect_polys(spark), 4, broadcast=False)
+    plan = _plan(pj)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan  # AQE may downgrade at test scale
+    )
+
+
+def test_minhash_banding_shuffles_no_text(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mh = textops.minhash_lsh_dedup(docs, jaccard_threshold=0.4)
+    plan = _plan(mh)
+    exchanges = plan.split("Exchange hashpartitioning")[1:]
+    keyed_on_text = sum(
+        "text#" in seg.split("\n")[0] for seg in exchanges
+    )
+    assert keyed_on_text == 0, plan
+
+
+def test_lsh_ann_single_signature_pass(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.first().embedding)
+    ann = similarity.lsh_cosine_topk(emb, q, k=3, dim=dim)
+    plan = _plan(ann)
+    # one corpus signature pass + query derivation + the two candidate
+    # re-attach scans: anything above 4 means a table-per-signature
+    # regression (was 8+ before the one-pass matmul landed)
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")

@@ -87,6 +87,67 @@ class TestStreaming:
         assert any(n == 2 for n in got.values())
         assert snap["total_rows"] >= 1
 
+    def test_session_window_merges_and_splits(self, spark, tmp_path):
+        """Session windows per cell: events within the gap merge into
+        ONE session; a later event in the same cell opens a second
+        session; sessions emit once the watermark closes them."""
+        from sparkh3.streaming import ingest
+
+        src = tmp_path / "src3"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [
+                # same cell, 30s apart with a 1-minute gap -> one session
+                Row(ts="2024-01-01 00:00:00", lat=50.0, lng=14.0),
+                Row(ts="2024-01-01 00:00:30", lat=50.0, lng=14.0),
+                # same cell, 10 minutes later -> a second session
+                Row(ts="2024-01-01 00:10:00", lat=50.0, lng=14.0),
+            ]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        # one file per batch: maxFilesPerTrigger=1 then maps file ->
+        # micro-batch deterministically (multi-file batches would split
+        # the session's events across batches in arbitrary order)
+        b1.coalesce(1).write.parquet(str(src / "b1"))
+        stream = spark.readStream.schema(b1.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        out = ingest.streaming_cell_sessions(
+            stream, 7, gap="1 minute", watermark="2 minutes"
+        )
+        rows: list = []
+
+        def sink(bdf, bid):
+            rows.extend(bdf.collect())
+
+        def run_available():
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt3"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_available()
+        # a far-future event (different cell) advances the watermark so
+        # the earlier sessions close and emit — across a RESTART, which
+        # proves session state recovered from the checkpoint
+        spark.createDataFrame(
+            [Row(ts="2024-01-01 01:00:00", lat=0.0, lng=0.0)]
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(str(src / "b2"))
+        run_available()
+        sessions = {
+            (str(r.session_start), str(r.session_end)): r.n_events
+            for r in rows
+        }
+        # first session: 2 events, spans 00:00:00 -> 00:00:30 + gap
+        assert sessions[("2024-01-01 00:00:00", "2024-01-01 00:01:30")] == 2
+        # second session: the lone 00:10 event
+        assert sessions[("2024-01-01 00:10:00", "2024-01-01 00:11:00")] == 1
+
     def test_stateful_cell_totals_across_batches(self, spark, tmp_path):
         """applyInPandasWithState keeps per-cell running totals across
         micro-batches: batch 2's emission includes batch 1's rows."""

@@ -109,6 +109,34 @@ class TestPipJoin:
         got_ad = joins.pip_join(pts, polys)
         assert {(r.doc_id, r.poly_id) for r in got_ad.collect()} == truth
 
+    def test_pip_join_big_side_falls_back_to_shuffle(self, spark):
+        """A polygon side above max_broadcast_rows must NOT be collected:
+        pip_join auto-falls back to the shuffle path (with an adaptively
+        sampled cover resolution) and still returns exact rows."""
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(sdf).select("doc_id", "lat", "lng")
+        rects = [("nyc", 39.0, 42.0, -75.5, -72.0), ("eu", 45.0, 56.0, -3.0, 15.0)]
+        poly_rows = []
+        for pid, y0, y1, x0, x1 in rects:
+            ring = [
+                {"lng": x0, "lat": y0},
+                {"lng": x1, "lat": y0},
+                {"lng": x1, "lat": y1},
+                {"lng": x0, "lat": y1},
+                {"lng": x0, "lat": y0},
+            ]
+            poly_rows.append(Row(poly_id=pid, geometry=[ring]))
+        polys = spark.createDataFrame(poly_rows)
+        truth = set()
+        for r in pts.collect():
+            for pid, y0, y1, x0, x1 in rects:
+                if y0 < r.lat < y1 and x0 < r.lng < x1:
+                    truth.add((r.doc_id, pid))
+        # cap below the polygon count -> fallback fires, resolution=None
+        # is resolved by sampling; results stay exact
+        got = joins.pip_join(pts, polys, max_broadcast_rows=1)
+        assert {(r.doc_id, r.poly_id) for r in got.collect()} == truth
+
     def test_pip_join_duplicate_key_raises(self, spark):
         ring = [
             {"lng": 0.0, "lat": 0.0},
