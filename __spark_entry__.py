@@ -178,6 +178,52 @@ def q_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S2_SYNTH = (
+    # valid level-20 S2 id from an integer key: face in 0..3 (keeps the
+    # id positive in signed int64 for both engines), 40 Hilbert position
+    # bits from a Knuth multiplicative mix, trailing marker bit 2^20
+    "((({key}) % 4) * 2305843009213693952 "  # face << 61
+    "+ ((({key}) * 2654435761) % 1099511627776) * 2097152 "  # pos << 21
+    "+ 1048576)"  # lsb = 1 << 20
+)
+
+
+def q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 parent rollup: synthetic valid level-20 cell ids -> native
+    bit-math ancestor at level 8 (sparkh3.functions.s2_parent_int) ->
+    groupBy/sum; the oracle re-derives the same ancestor with the
+    published lsb bit trick in SQL. Gates the S2 id layout + parent
+    algebra (the latlng encode path is golden/property-gated in
+    tests/test_s2.py — DuckDB has no S2)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_li_s2")
+    cells = spark.sql(
+        f"SELECT {_S2_SYNTH.format(key='l_orderkey')} AS s2_20, "
+        "l_quantity FROM _li_s2"
+    )
+    rolled = (
+        cells.groupBy(H3F.s2_parent_int(F.col("s2_20"), 8).alias("s2_08"))
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+    return rolled.select("s2_08", "sum_qty")
+
+
+def q_s2_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real S2 encode path over the doc points: latlng -> level-12 cell
+    -> level-6 ancestor -> densest 50 (S2-valued: rows-only, the kernel
+    is gated by tests/test_s2.py goldens + properties)."""
+    pts = _docs_points(spark, sf_dir)
+    cells = pts.withColumn(
+        "s2_12", H3F.latlng_to_s2_udf(12)(F.col("lat"), F.col("lng"))
+    )
+    agg = (
+        cells.groupBy(H3F.s2_parent_int(F.col("s2_12"), 6).alias("s2_06"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("token", H3F.s2_token_udf()(F.col("s2_06")))
+    )
+    return agg.select("token", "n").orderBy(F.col("n").desc(), "token").limit(50)
+
+
 def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact point-in-polygon join (H3 cover prejoin + ray-cast refine)
     vs a pure BETWEEN oracle."""
@@ -468,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid_aggregate": q_geo_grid_aggregate,
         "parent_rollup_bits": q_parent_rollup_bits,
         "chained_rollup": q_chained_rollup,
+        "s2_rollup": q_s2_rollup,
         "pip_join_rect": q_pip_join_rect,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -484,8 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "token_stats": q_token_stats,
         "ivf_ann": q_ivf_ann,
-        # rows-only (H3 kernel values; golden-gated in tests/)
+        # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
+        "s2_cells_topk": q_s2_cells_topk,
         "polyfill_tiles": q_polyfill_tiles,
         "compact_tiles": q_compact_tiles,
         "kring_smoothing": q_kring_smoothing,
@@ -521,6 +569,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT printf('%x', {parent}) AS h3_05, "
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem GROUP BY 1"
+        ),
+        "s2_rollup": (
+            # ancestor at level 8: lsb = 1<<44; (id & ~(2*lsb-1)) | lsb
+            f"WITH c AS (SELECT {_S2_SYNTH.format(key='l_orderkey')} AS s2_20, "
+            "l_quantity FROM lineitem) "
+            f"SELECT ((s2_20 & ~{2 * (1 << 44) - 1}) | {1 << 44}) AS s2_08, "
+            "round(sum(l_quantity), 4) AS sum_qty FROM c GROUP BY 1"
         ),
         "chained_rollup": (
             # same bit math as the engine's h3_parent: clear the res

@@ -456,3 +456,93 @@ def uncompact_udf(res: int):
         return pd.Series(out)
 
     return f
+
+
+# ---------------------------------------------------------------------------
+# S2 tier (kernel/s2.py) — the north rule's "H3/S2" disjunction, both
+# sides: same two-tier shape (native bit math for level ops, Arrow UDFs
+# for the geometric encode/decode)
+# ---------------------------------------------------------------------------
+
+
+def s2_parent_int(v: Column, level: int) -> Column:
+    """S2 ancestor at `level` — pure bit math (published lsb trick),
+    JVM codegen, no UDF: (id & ~(2*lsb - 1)) | lsb."""
+    lsb = 1 << (2 * (30 - level))
+    return v.bitwiseAND(F.lit(~(2 * lsb - 1))).bitwiseOR(F.lit(lsb))
+
+
+def s2_range(v: Column) -> tuple[Column, Column]:
+    """(range_min, range_max) of a cell's leaf descendants — id-range
+    containment pruning (parquet min/max stats), native bit math."""
+    lsb = v.bitwiseAND(-v)
+    return v - (lsb - F.lit(1)), v + (lsb - F.lit(1))
+
+
+def latlng_to_s2_udf(level: int):
+    """lat/lng -> int64 S2 cell id at `level` (Arrow-vectorized)."""
+
+    @F.pandas_udf(LongType())
+    def f(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import s2
+
+        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lng.to_numpy(dtype=np.float64, na_value=np.nan)
+        null = np.isnan(la) | np.isnan(lo)
+        cells = s2.latlng_to_cell(
+            np.where(null, 0.0, la), np.where(null, 0.0, lo), level
+        )
+        out = pd.Series(cells.view(np.int64))
+        if null.any():
+            out = out.astype("Int64")
+            out[null] = None
+        return out
+
+    return f
+
+
+def s2_to_latlng_udf():
+    """int64 S2 cell id -> struct<lat,lng> center (Arrow-vectorized)."""
+
+    @F.pandas_udf(
+        StructType(
+            [StructField("lat", DoubleType()), StructField("lng", DoubleType())]
+        )
+    )
+    def f(cell: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from .kernel import s2
+
+        vals = cell.to_numpy(dtype=np.float64, na_value=np.nan)
+        null = np.isnan(vals)
+        safe = np.where(null, 1 << 60, vals).astype(np.int64).view(np.uint64)
+        lat, lng = s2.cell_to_latlng(safe)
+        out = pd.DataFrame({"lat": lat, "lng": lng})
+        out.loc[null, ["lat", "lng"]] = None
+        return out
+
+    return f
+
+
+def s2_token_udf():
+    """int64 S2 cell id -> canonical token (hex, trailing zeros
+    stripped)."""
+
+    @F.pandas_udf(StringType())
+    def f(cell: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import s2
+
+        vals = cell.to_numpy(dtype=object)
+        null = pd.isna(vals)
+        safe = np.where(null, 1 << 60, vals).astype(np.int64).view(np.uint64)
+        toks = s2.cell_to_token(safe)
+        out = pd.Series(toks, dtype=object)
+        out[null] = None
+        return out
+
+    return f

@@ -1,0 +1,272 @@
+"""Minimal S2 cell index, from scratch (NumPy-vectorized).
+
+Closes the north rule's "H3/S2 index" disjunction explicitly: 64-bit S2
+cell ids built from the published id layout and Hilbert-curve constants
+(s2geometry docs: 3 face bits, 2*level Hilbert position bits, one
+trailing marker bit; kIJtoPos / kPosToOrientation lookup tables; the
+quadratic ST<->UV transform). No S2 library exists in this environment —
+everything below derives from the public spec, mirroring how kernel/geo
+derives H3 from the public H3 spec.
+
+Ops: latlng -> cell (any level 0-30), cell -> center latlng, level,
+face, parent / descendant-range bit math, child ordering, tokens.
+Validation: structural goldens (face-cell ids/tokens from the published
+layout), roundtrip + containment + curve-continuity properties
+(tests/test_s2.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+_FACE_BITS = 3
+_POS_BITS = 2 * MAX_LEVEL + 1  # 61
+
+_SWAP = 1
+_INVERT = 2
+# published Hilbert lookup tables (s2geometry kPosToIJ / kPosToOrientation;
+# kIJtoPos is each row's inverse permutation)
+_POS_TO_IJ = np.array(
+    [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]], dtype=np.uint64
+)
+_IJ_TO_POS = np.array(
+    [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]], dtype=np.uint64
+)
+_POS_TO_ORIENT = np.array([_SWAP, 0, 0, _INVERT | _SWAP], dtype=np.uint64)
+
+
+def _asu64(a) -> np.ndarray:
+    return np.atleast_1d(np.asarray(a)).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# sphere <-> face/uv/st
+# ---------------------------------------------------------------------------
+
+
+def _latlng_to_xyz(lat: np.ndarray, lng: np.ndarray):
+    phi = np.radians(lat)
+    lam = np.radians(lng)
+    cp = np.cos(phi)
+    return cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)
+
+
+def _xyz_to_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(axis, [x, y, z])
+    face = np.where(comp >= 0, axis, axis + 3).astype(np.int64)
+    # published face->(u,v) projection table
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for f, (ue, ve) in enumerate(
+            [
+                (lambda: y / x, lambda: z / x),      # +x
+                (lambda: -x / y, lambda: z / y),     # +y
+                (lambda: -x / z, lambda: -y / z),    # +z
+                (lambda: z / x, lambda: y / x),      # -x
+                (lambda: z / y, lambda: -x / y),     # -y
+                (lambda: -y / z, lambda: -x / z),    # -z
+            ]
+        ):
+            m = face == f
+            if m.any():
+                u[m] = ue()[m]
+                v[m] = ve()[m]
+    return face, u, v
+
+
+def _face_uv_to_xyz(face, u, v):
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    one = np.ones_like(u)
+    # inverse of the projection table (unnormalized direction vectors)
+    table = [
+        (one, u, v),
+        (-u, one, v),
+        (-u, -v, one),
+        (-one, -v, -u),
+        (v, -one, -u),
+        (v, u, -one),
+    ]
+    for f, (xe, ye, ze) in enumerate(table):
+        m = face == f
+        if m.any():
+            x[m], y[m], z[m] = xe[m], ye[m], ze[m]
+    n = np.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """Quadratic projection (published S2_QUADRATIC_PROJECTION)."""
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        return np.where(
+            u >= 0.0,
+            0.5 * np.sqrt(1.0 + 3.0 * u),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        )
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: (face, i, j) <-> cell id
+# ---------------------------------------------------------------------------
+
+
+def _from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """(face, i, j) at level 30 -> level-30 cell id. Vectorized 30-step
+    Hilbert walk (2 bits per level via the published lookup tables)."""
+    face = face.astype(np.uint64)
+    i = i.astype(np.uint64)
+    j = j.astype(np.uint64)
+    pos = np.zeros(len(face), dtype=np.uint64)
+    orient = face & np.uint64(_SWAP)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ib = (i >> np.uint64(k)) & np.uint64(1)
+        jb = (j >> np.uint64(k)) & np.uint64(1)
+        ij2 = (ib << np.uint64(1)) | jb
+        p = _IJ_TO_POS[orient, ij2]
+        pos = (pos << np.uint64(2)) | p
+        orient = orient ^ _POS_TO_ORIENT[p]
+    return (face << np.uint64(_POS_BITS)) | (pos << np.uint64(1)) | np.uint64(1)
+
+
+def _to_face_ij(cell: np.ndarray):
+    """cell id (any level) -> (face, i, j, level) with i/j at the cell's
+    own level resolution."""
+    cell = _asu64(cell)
+    lev = get_level(cell)
+    face = (cell >> np.uint64(_POS_BITS)).astype(np.int64)
+    i = np.zeros(len(cell), dtype=np.uint64)
+    j = np.zeros(len(cell), dtype=np.uint64)
+    orient = (face.astype(np.uint64)) & np.uint64(_SWAP)
+    maxlev = int(lev.max()) if len(lev) else 0
+    for k in range(maxlev):
+        active = lev > k
+        # the k-th (coarsest-first) position pair always sits at bit
+        # 59-2k regardless of the cell's level: 2*(30-lev)+1+2*(lev-1-k)
+        p = (cell >> np.uint64(59 - 2 * k)) & np.uint64(3)
+        ij2 = _POS_TO_IJ[orient, p]
+        ni = (i << np.uint64(1)) | (ij2 >> np.uint64(1))
+        nj = (j << np.uint64(1)) | (ij2 & np.uint64(1))
+        no = orient ^ _POS_TO_ORIENT[p]
+        i = np.where(active, ni, i)
+        j = np.where(active, nj, j)
+        orient = np.where(active, no, orient)
+    return face, i, j, lev
+
+
+# ---------------------------------------------------------------------------
+# public ops
+# ---------------------------------------------------------------------------
+
+
+def latlng_to_cell(lat, lng, level: int) -> np.ndarray:
+    """lat/lng degrees -> S2 cell id at `level` (uint64)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+    x, y, z = _latlng_to_xyz(lat, lng)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    lim = np.uint64((1 << MAX_LEVEL) - 1)
+    i = np.clip(
+        np.floor(_uv_to_st(u) * (1 << MAX_LEVEL)), 0, float(lim)
+    ).astype(np.uint64)
+    j = np.clip(
+        np.floor(_uv_to_st(v) * (1 << MAX_LEVEL)), 0, float(lim)
+    ).astype(np.uint64)
+    leaf = _from_face_ij(face, i, j)
+    return cell_to_parent(leaf, level) if level < MAX_LEVEL else leaf
+
+
+def cell_to_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
+    """S2 cell id -> center lat/lng degrees."""
+    face, i, j, lev = _to_face_ij(cell)
+    denom = np.power(2.0, lev.astype(np.float64))
+    s = (i.astype(np.float64) + 0.5) / denom
+    t = (j.astype(np.float64) + 0.5) / denom
+    x, y, z = _face_uv_to_xyz(face, _st_to_uv(s), _st_to_uv(t))
+    lat = np.degrees(np.arcsin(np.clip(z, -1.0, 1.0)))
+    lng = np.degrees(np.arctan2(y, x))
+    return lat, lng
+
+
+def get_level(cell) -> np.ndarray:
+    """Level from the trailing marker bit: 30 - tz/2."""
+    cell = _asu64(cell)
+    lsb = cell & (~cell + np.uint64(1))
+    # integer log2 of lsb via float exponent (exact for powers of two)
+    tz = np.log2(lsb.astype(np.float64) + (cell == 0)).astype(np.uint64)
+    return np.uint64(MAX_LEVEL) - (tz >> np.uint64(1))
+
+
+def get_face(cell) -> np.ndarray:
+    return (_asu64(cell) >> np.uint64(_POS_BITS)).astype(np.int64)
+
+
+def is_valid_cell(cell) -> np.ndarray:
+    cell = _asu64(cell)
+    face_ok = (cell >> np.uint64(_POS_BITS)) < np.uint64(6)
+    lsb = cell & (~cell + np.uint64(1))
+    # the trailing bit must sit on an even bit position (0,2,...,60)
+    lsb_ok = (lsb & np.uint64(0x1555555555555555)) != 0
+    return face_ok & (cell != 0) & lsb_ok
+
+
+def cell_to_parent(cell, level: int) -> np.ndarray:
+    """Ancestor at `level` — pure bit math (published lsb trick):
+    (id & -newlsb... ) == (id & ~(2*newlsb - 1)) | newlsb."""
+    cell = _asu64(cell)
+    nl = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return (cell & ~(np.uint64(2) * nl - np.uint64(1))) | nl
+
+
+def descendant_range(cell) -> tuple[np.ndarray, np.ndarray]:
+    """[range_min, range_max] of all leaf descendants — the id-range
+    pruning contract (min/max file stats prune by containment, exactly
+    like the H3 manifest layer)."""
+    cell = _asu64(cell)
+    lsb = cell & (~cell + np.uint64(1))
+    return cell - (lsb - np.uint64(1)), cell + (lsb - np.uint64(1))
+
+
+def cell_to_children(cell) -> np.ndarray:
+    """The 4 children of each cell, curve-ordered (flat, grouped by
+    parent)."""
+    cell = _asu64(cell)
+    lsb = cell & (~cell + np.uint64(1))
+    nl = lsb >> np.uint64(2)
+    if (nl == 0).any():
+        raise ValueError("cell is already at MAX_LEVEL")
+    base = cell - lsb + nl
+    out = np.empty(len(cell) * 4, dtype=np.uint64)
+    for c in range(4):
+        out[c::4] = base + np.uint64(2 * c) * nl
+    return out.reshape(len(cell), 4).reshape(-1)
+
+
+def cell_to_token(cell) -> np.ndarray:
+    """Canonical token: 16-digit hex with trailing zeros stripped."""
+    cell = _asu64(cell)
+    return np.array(
+        [format(int(c), "016x").rstrip("0") or "X" for c in cell], dtype=object
+    )
+
+
+def token_to_cell(tok) -> np.ndarray:
+    toks = np.atleast_1d(np.asarray(tok, dtype=object))
+    return np.array(
+        [0 if t in ("", "X") else int(str(t).ljust(16, "0"), 16) for t in toks],
+        dtype=np.uint64,
+    )
