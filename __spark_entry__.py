@@ -224,6 +224,45 @@ def q_s2_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("token", "n").orderBy(F.col("n").desc(), "token").limit(50)
 
 
+def q_s2_rect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-rect point counts via the S2 covering path: rect ->
+    fixed-level covering (kernel/s2.py rect_covering, a guaranteed
+    superset) -> broadcast hash equi-join on each point's s2_parent_int
+    ancestor -> exact bbox residual filter. The covering prunes, the
+    residual filter makes the count exact — oracled by a pure BETWEEN
+    count. 100 TB shape: points carry one int64 ancestor id, the
+    covering side is tiny and broadcast, no point-side shuffle."""
+    import numpy as np
+
+    from sparkh3.kernel import s2 as s2k
+
+    level = 7
+    rows = []
+    for name, y0, y1, x0, x1 in _RECTS:
+        for c in s2k.rect_covering(y0, y1, x0, x1, level).view(np.int64):
+            rows.append(
+                (name, int(c), float(y0), float(y1), float(x0), float(x1))
+            )
+    cov = spark.createDataFrame(
+        rows,
+        "rect string, s2_07 long, y0 double, y1 double, x0 double, x1 double",
+    )
+    pts = _docs_points(spark, sf_dir)
+    enc = pts.withColumn(
+        "s2_07",
+        H3F.s2_parent_int(
+            H3F.latlng_to_s2_udf(14)(F.col("lat"), F.col("lng")), level
+        ),
+    )
+    exact = enc.join(F.broadcast(cov), "s2_07").filter(
+        (F.col("lat") >= F.col("y0"))
+        & (F.col("lat") <= F.col("y1"))
+        & (F.col("lng") >= F.col("x0"))
+        & (F.col("lng") <= F.col("x1"))
+    )
+    return exact.groupBy("rect").agg(F.count("*").alias("n_docs"))
+
+
 def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact point-in-polygon join (H3 cover prejoin + ray-cast refine)
     vs a pure BETWEEN oracle."""
@@ -515,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_rollup_bits": q_parent_rollup_bits,
         "chained_rollup": q_chained_rollup,
         "s2_rollup": q_s2_rollup,
+        "s2_rect_count": q_s2_rect_count,
         "pip_join_rect": q_pip_join_rect,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -587,6 +627,13 @@ def oracle_sql() -> dict[str, str]:
             f"| {(1 << 30) - 1}) AS c5, avg(q) AS mq FROM p7 GROUP BY 1) "
             "SELECT printf('%x', c5) AS h3_05, round(mq, 4) AS mean_qty "
             "FROM p5"
+        ),
+        "s2_rect_count": (
+            f"WITH pts AS ({pts}), rects AS ({rect_union}) "
+            "SELECT r.poly_id AS rect, count(*) AS n_docs "
+            "FROM pts p JOIN rects r "
+            "ON p.lat >= r.y0 AND p.lat <= r.y1 "
+            "AND p.lng >= r.x0 AND p.lng <= r.x1 GROUP BY 1"
         ),
         "pip_join_rect": (
             f"WITH pts AS ({pts}), rects AS ({rect_union}) "

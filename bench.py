@@ -477,13 +477,14 @@ def main() -> None:
             f"local{lo}_rows_per_sec": round(rows_w / t_lo, 1),
             f"local{hi}_rows_per_sec": round(rows_w / t_hi, 1),
             "efficiency": round(eff, 3),
-            # the host's own parallel-memory bounds, measured in the same
-            # run so the artifact carries its context: a pure-NumPy
-            # 1->4-process kernel collapses to ~0.25 when every iteration
-            # allocates fresh buffers (hypervisor page-fault serialization)
-            # and reaches ~0.94 on warm buffers; engine efficiency sits
-            # between them by necessity (fresh Arrow/shuffle buffers per
-            # task). See BENCH/BASELINE.md §2.
+            # the host's own parallel-memory context, measured in the
+            # same run so the artifact carries it: a pure-NumPy
+            # 1->4-process kernel probe under fresh-allocation vs
+            # warm-buffer regimes. On a quiet host these have measured
+            # 0.25 vs 0.94 (BENCH/BASELINE.md §2); during load phases
+            # both compress toward the engine's own figure — either way
+            # they timestamp what the host could do when the record was
+            # taken.
             "host_bounds": host_bounds(),
         }
     print(json.dumps(result))

@@ -256,6 +256,130 @@ def cell_to_children(cell) -> np.ndarray:
     return out.reshape(len(cell), 4).reshape(-1)
 
 
+def cell_vertices_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
+    """The 4 corner vertices of each cell in degrees — (n,4) lat and
+    (n,4) lng arrays, corner order (0,0),(1,0),(0,1),(1,1) in st space."""
+    face, i, j, lev = _to_face_ij(cell)
+    denom = np.power(2.0, lev.astype(np.float64))
+    lat = np.empty((len(face), 4), dtype=np.float64)
+    lng = np.empty((len(face), 4), dtype=np.float64)
+    for k, (di, dj) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        s = (i.astype(np.float64) + di) / denom
+        t = (j.astype(np.float64) + dj) / denom
+        x, y, z = _face_uv_to_xyz(face, _st_to_uv(s), _st_to_uv(t))
+        lat[:, k] = np.degrees(np.arcsin(np.clip(z, -1.0, 1.0)))
+        lng[:, k] = np.degrees(np.arctan2(y, x))
+    return lat, lng
+
+
+_POLE_IJ = np.uint64(1 << (MAX_LEVEL - 1))  # (u,v)=(0,0): face center
+
+
+def _may_intersect_rect(
+    cells: np.ndarray, lat_lo, lat_hi, lng_lo, lng_hi
+) -> np.ndarray:
+    """Conservative (never-false-negative) cell-vs-latlng-rect test.
+
+    A cell is contained in the union of caps of angular radius D around
+    its 4 vertices, where D bounds the cell diagonal at its level
+    (published kMaxDiag metric; 180*2^-level deg is a safe upper bound
+    incl. the level-0 faces). So [vertex lat/lng hull expanded by D]
+    is a true superset of the cell — a rect disjoint from that hull is
+    disjoint from the cell. Over-approximation only widens coverings;
+    exactness comes from the caller's residual bbox filter."""
+    cells = _asu64(cells)
+    face, i, j, lev = _to_face_ij(cells)
+    vlat, vlng = cell_vertices_latlng(cells)
+    exp = 180.0 * np.power(2.0, -lev.astype(np.float64))
+
+    lat_min = vlat.min(axis=1) - exp
+    lat_max = vlat.max(axis=1) + exp
+    # pole-touching cells (face 2 holds the north pole at its center,
+    # face 5 the south): latitude extremum is the pole itself and the
+    # longitude span is the full circle
+    shift = np.uint64(MAX_LEVEL) - lev
+    i_lo, i_hi = i << shift, (i + np.uint64(1)) << shift
+    j_lo, j_hi = j << shift, (j + np.uint64(1)) << shift
+    touches_ctr = (
+        (i_lo <= _POLE_IJ) & (_POLE_IJ <= i_hi)
+        & (j_lo <= _POLE_IJ) & (_POLE_IJ <= j_hi)
+    )
+    pole_n = (face == 2) & touches_ctr
+    pole_s = (face == 5) & touches_ctr
+    lat_max = np.where(pole_n, 90.0, lat_max)
+    lat_min = np.where(pole_s, -90.0, lat_min)
+
+    # longitude interval of the vertex hull, on the circle: deltas
+    # relative to vertex 0, then expand by D / cos(extreme lat)
+    ref = vlng[:, 0]
+    d = np.mod(vlng - ref[:, None] + 180.0, 360.0) - 180.0
+    extreme = np.minimum(
+        89.9, np.maximum(np.abs(lat_min), np.abs(lat_max))
+    )
+    exp_lng = exp / np.cos(np.radians(extreme))
+    c_lo = ref + d.min(axis=1) - exp_lng
+    span = d.max(axis=1) - d.min(axis=1) + 2.0 * exp_lng
+    full = pole_n | pole_s | (span >= 360.0)
+
+    lat_ok = (lat_min <= lat_hi) & (lat_max >= lat_lo)
+    # circular interval overlap: [0, span] vs [off, off + rect_w]
+    off = np.mod(lng_lo - c_lo, 360.0)
+    rect_w = lng_hi - lng_lo
+    lng_ok = full | (off <= span) | (off + rect_w >= 360.0)
+    return lat_ok & lng_ok
+
+
+def rect_covering(
+    lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float, level: int
+) -> np.ndarray:
+    """All cells at `level` that may intersect the lat/lng rect — a
+    guaranteed superset of the cells actually intersecting it (the
+    S2RegionCoverer contract for a fixed level, built as a BFS subdivide
+    from the 6 face cells with the conservative hull test above).
+
+    A rect crossing the antimeridian (lng_lo > lng_hi) splits into two
+    non-wrapping coverings. Fixed-level output joins as a hash equi-join
+    on `s2_parent_int` (the 100 TB shape); `merge_ranges` turns it into
+    leaf id ranges for min/max manifest pruning."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    if not (-90.0 <= lat_lo <= lat_hi <= 90.0):
+        raise ValueError("latitudes must satisfy -90 <= lo <= hi <= 90")
+    if lng_lo > lng_hi:  # antimeridian wrap: split
+        a = rect_covering(lat_lo, lat_hi, lng_lo, 180.0, level)
+        b = rect_covering(lat_lo, lat_hi, -180.0, lng_hi, level)
+        return np.unique(np.concatenate([a, b]))
+    frontier = np.array(
+        [(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64
+    )
+    for _ in range(level):
+        keep = frontier[
+            _may_intersect_rect(frontier, lat_lo, lat_hi, lng_lo, lng_hi)
+        ]
+        frontier = cell_to_children(keep)
+    return np.sort(
+        frontier[_may_intersect_rect(frontier, lat_lo, lat_hi, lng_lo, lng_hi)]
+    )
+
+
+def merge_ranges(cells) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells -> minimal sorted disjoint [leaf_min, leaf_max]
+    id ranges (adjacent/overlapping ranges coalesced) — the containment
+    intervals a manifest layer prunes files against."""
+    cells = _asu64(cells)
+    if len(cells) == 0:
+        return cells.copy(), cells.copy()
+    lo, hi = descendant_range(cells)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    run = np.maximum.accumulate(hi)  # running max handles nested ranges
+    # a new range starts where the running max + 2 < this min (leaf ids
+    # step by 2: the trailing marker bit keeps them odd)
+    starts = np.concatenate([[True], lo[1:] > run[:-1] + np.uint64(2)])
+    idx = np.flatnonzero(starts)
+    return lo[idx], np.maximum.reduceat(run, idx)
+
+
 def cell_to_token(cell) -> np.ndarray:
     """Canonical token: 16-digit hex with trailing zeros stripped."""
     cell = _asu64(cell)

@@ -86,6 +86,78 @@ class TestProperties:
         assert step.max() < 1e-5
 
 
+class TestCovering:
+    def test_fixed_level_and_sorted(self):
+        cov = s2.rect_covering(38.0, 43.0, -77.0, -71.0, 7)
+        assert (s2.get_level(cov) == 7).all()
+        assert (np.diff(cov.view(np.uint64).astype(object)) > 0).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.floats(min_value=-85.0, max_value=80.0),
+        st.floats(min_value=-180.0, max_value=175.0),
+        st.floats(min_value=0.5, max_value=12.0),
+        st.floats(min_value=0.5, max_value=15.0),
+        st.integers(min_value=2, max_value=9),
+        st.integers(min_value=0, max_value=2**32),
+    )
+    def test_covering_is_superset(self, y0, dx_lat, dy, dx, level, seed):
+        """The coverer's one hard contract: EVERY point inside the rect
+        has its level-L ancestor in the covering (no false negatives —
+        over-approximation is allowed, misses are not)."""
+        y1 = min(y0 + dy, 90.0)
+        x0 = dx_lat * 29.0 - 180.0  # spread rect starts over the globe
+        x0 = max(-180.0, min(x0, 179.0))
+        x1 = min(x0 + dx, 180.0)
+        cov = s2.rect_covering(y0, y1, x0, x1, level)
+        rng = np.random.default_rng(seed)
+        la = rng.uniform(y0, y1, 400)
+        lo = rng.uniform(x0, x1, 400)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), level)
+        assert np.isin(par, cov).all()
+
+    def test_antimeridian_wrap_and_pole(self):
+        wrap = s2.rect_covering(-10.0, 10.0, 170.0, -170.0, 6)
+        rng = np.random.default_rng(3)
+        la = rng.uniform(-10, 10, 1000)
+        lo = np.where(rng.random(1000) < 0.5, 1, -1) * rng.uniform(170, 180, 1000)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), 6)
+        assert np.isin(par, wrap).all()
+        pole = s2.rect_covering(85.0, 90.0, -180.0, 180.0, 5)
+        la2 = rng.uniform(85, 89.99, 1000)
+        lo2 = rng.uniform(-180, 180, 1000)
+        par2 = s2.cell_to_parent(s2.latlng_to_cell(la2, lo2, 30), 5)
+        assert np.isin(par2, pole).all()
+
+    def test_merge_ranges(self):
+        cov = s2.rect_covering(38.0, 43.0, -77.0, -71.0, 7)
+        lo, hi = s2.merge_ranges(cov)
+        # disjoint, sorted, and strictly fewer intervals than cells
+        assert (lo <= hi).all() and (lo[1:] > hi[:-1]).all()
+        assert len(lo) < len(cov)
+        # every covering cell's leaf range is inside some merged range
+        clo, chi = s2.descendant_range(cov)
+        idx = np.searchsorted(lo, clo, side="right") - 1
+        assert (clo >= lo[idx]).all() and (chi <= hi[idx]).all()
+
+    def test_merge_ranges_nested_input(self):
+        """A parent plus its own children must collapse to the parent's
+        single range (running-max merge, not adjacent-only)."""
+        parent = s2.latlng_to_cell(40.0, -73.0, 6)
+        mixed = np.concatenate([parent, s2.cell_to_children(parent)])
+        lo, hi = s2.merge_ranges(mixed)
+        plo, phi = s2.descendant_range(parent)
+        assert len(lo) == 1 and lo[0] == plo[0] and hi[0] == phi[0]
+
+    def test_bad_inputs(self):
+        with pytest.raises(ValueError):
+            s2.rect_covering(10.0, 5.0, 0.0, 1.0, 7)
+        with pytest.raises(ValueError):
+            s2.rect_covering(0.0, 1.0, 0.0, 1.0, 31)
+        lo, hi = s2.merge_ranges(np.array([], dtype=np.uint64))
+        assert len(lo) == 0 and len(hi) == 0
+
+
 class TestSparkSurface:
     def test_udfs_match_kernel(self, spark):
         from pyspark.sql import functions as F
