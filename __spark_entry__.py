@@ -25,6 +25,7 @@ from sparkh3 import dataframe as dfo  # noqa: E402
 from sparkh3 import datagen  # noqa: E402
 from sparkh3 import functions as H3F  # noqa: E402
 from sparkh3.operators import joins, similarity, spans, textops  # noqa: E402
+from sparkh3.operators.graph import connected_components  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared synthetic-cell construction (pure integer arithmetic, identical in
@@ -511,6 +512,50 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> cluster ids via distributed connected
+    components (alternating large-star/small-star, graph.py) — the
+    keeper-assignment step of a dedup pipeline. Oracle: recursive-CTE
+    reachability over the identical cosine pair set (min reachable id =
+    component id)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.4)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("cluster_id")
+    )
+
+
+_BM25_QUERIES = [
+    (0, "hash"), (0, "join"),
+    (1, "vector"), (1, "scan"), (1, "slow"),
+    (2, "customer"), (2, "order"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query (Lucene idf form) — fully relational;
+    oracled by the identical closed-form SQL pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    out = textops.bm25_topk(docs, queries, k=10)
+    return out.select("query_id", "doc_id", "rank")
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-300km geo join: broadcast H3 ring-certificate disks +
+    haversine residual (joins.radius_join) vs a pure cross-join BETWEEN
+    oracle. The point side never shuffles (plan-asserted in tests)."""
+    pts = _docs_points(spark, sf_dir)
+    queries = spark.createDataFrame(_KNN_QUERIES, ["query_id", "lat", "lng"])
+    out = joins.radius_join(
+        queries, pts.withColumnRenamed("doc_id", "point_id"), radius_km=300.0
+    )
+    return out.select("query_id", "point_id", "dist_km")
+
+
 def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned-pair exact 3-gram Jaccard — oracles the verification stage
     of the MinHash-LSH dedup path (same gram/intersect/union algebra)."""
@@ -567,6 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_stats": q_spans_stats,
         "extract_geometry_grid": q_extract_geometry_grid,
         "jaccard_verify": q_jaccard_verify,
+        "dedup_clusters": q_dedup_clusters,
+        "bm25_search": q_bm25_search,
+        "radius_join": q_radius_join,
         "media_features": q_media_features,
         "embed_neardup": q_embed_neardup,
         "token_stats": q_token_stats,
@@ -598,6 +646,9 @@ def oracle_sql() -> dict[str, str]:
     hav = _HAV.format(plat="p.lat", plng="p.lng", qlat="q.qlat", qlng="q.qlng")
     synth = _synth_cell_sql("l_orderkey")
     parent = f"(({synth} & {~(15 << 52)}) | {5 << 52} | {(1 << 30) - 1})"
+    _bm25_values = ", ".join(
+        f"({qid}, '{term}')" for qid, term in _BM25_QUERIES
+    )
     return {
         "geo_grid_aggregate": (
             f"WITH pts AS ({pts}) "
@@ -757,6 +808,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.embedding AS DOUBLE[])), 6) AS sim "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
             "SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4"
+        ),
+        "dedup_clusters": (
+            # recursive-CTE reachability: min reachable id = component id
+            "WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4), "
+            "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "reach(node, r) AS (SELECT src, src FROM e UNION "
+            "SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node) "
+            "SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1"
+        ),
+        "bm25_search": (
+            f"WITH q(query_id, term) AS (VALUES {_bm25_values}), "
+            "tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), ' +')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "dfq AS (SELECT tf.term, count(DISTINCT tf.doc_id) AS df FROM tf "
+            "WHERE tf.term IN (SELECT DISTINCT term FROM q) GROUP BY 1), "
+            "sc AS (SELECT q.query_id, tf.doc_id, "
+            "sum(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+            "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) "
+            "AS score FROM q JOIN tf ON q.term = tf.term "
+            "JOIN dfq ON q.term = dfq.term JOIN dl ON tf.doc_id = dl.doc_id "
+            "CROSS JOIN st GROUP BY 1, 2), "
+            "r AS (SELECT query_id, doc_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) "
+            "AS rank FROM sc) "
+            "SELECT query_id, doc_id, rank FROM r WHERE rank <= 10"
+        ),
+        "radius_join": (
+            f"WITH pts AS ({pts}), q AS ({knn_union}), "
+            f"d AS (SELECT q.query_id, p.doc_id AS point_id, "
+            f"round({hav}, 6) AS dist_km FROM q CROSS JOIN pts p) "
+            "SELECT query_id, point_id, dist_km FROM d WHERE dist_km <= 300.0"
         ),
         "media_features": (
             f"WITH d AS ({spans_cte}), "

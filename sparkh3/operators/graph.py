@@ -1,0 +1,129 @@
+"""Distributed connected components — the last step of every near-dup
+pipeline: pair lists (minhash/simhash/embedding) -> cluster ids, so one
+keeper per cluster can be chosen.
+
+Alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public algorithm): each
+round is two groupBy-join passes over the edge set; edge multiplicity
+shrinks geometrically and the fixed point is a star per component
+centered on its minimum node. O(log^2 n) rounds worst-case, 2-3 rounds
+in practice for dedup graphs (small dense clusters). Everything stays
+(long, long) edge tuples — no text, no payloads — so at 100 TB the
+shuffle volume is the pair list itself, already the small end of the
+pipeline.
+
+The reference has no graph surface; this extends the engine for the
+training-data workload (brief: dedup as first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u with neighborhood N(u): connect each strictly
+    larger neighbor to m = min(N(u) + {u}). Symmetrizes internally."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("_m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge from its larger endpoint u to its smaller v;
+    for every u connect u and all its smaller neighbors to their min."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    m = e.groupBy("src").agg(F.min("dst").alias("_m"))
+    joined = e.join(m, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    out = out.unionByName(
+        m.select(F.col("src"), F.col("_m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) undirected pair list -> (node, cluster_id) where
+    cluster_id is the minimum node id in the component. Every node that
+    appears in `pairs` gets a row (component minima map to themselves).
+
+    Convergence is detected by an order-insensitive fingerprint of the
+    edge set (count + xor-ish sum of per-edge hashes) — one tiny
+    aggregate per round, no driver-side edge materialization. `max_iter`
+    bounds the worst case (a path graph needs O(log n) rounds); dedup
+    graphs converge in 2-3.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if edges.isEmpty():
+        edges.unpersist()
+        nodes.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            [], "node long, cluster_id long"
+        )
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor: order-insensitive, overflow-free (ANSI-safe) — edges
+        # are distinct so no pair cancellation
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # localCheckpoint (not persist): truncates the logical plan each
+        # round — without it the compounded join/distinct lineage grows
+        # exponentially and Catalyst re-optimization OOMs the driver by
+        # round ~6 (a path graph needs O(log n) rounds)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fp = _fingerprint(nxt)
+        edges.unpersist()
+        edges = nxt
+        if fp == prev:
+            break
+        prev = fp
+    # fixed point: stars centered on component minima. Roots (the
+    # minima) have no outgoing src row — they map to themselves.
+    assigned = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("cluster_id")
+    )
+    roots = nodes.join(
+        assigned.select("node"), "node", "anti"
+    ).select("node", F.col("node").alias("cluster_id"))
+    out = assigned.unionByName(roots)
+    edges.unpersist()
+    nodes.unpersist()
+    return out

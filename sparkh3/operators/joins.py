@@ -544,3 +544,102 @@ def _knn_iterative(
         F.col("_dist").alias("dist_km"),
         F.col("_rank").alias("rank"),
     )
+
+
+def radius_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_km: float,
+    resolution: int | None = None,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    q_lat: str = "lat",
+    q_lng: str = "lng",
+    p_lat: str = "lat",
+    p_lng: str = "lng",
+    max_queries: int = 4096,
+    max_ring: int = 8,
+) -> DataFrame:
+    """Within-distance join: every (query, point) pair with haversine
+    distance <= radius_km. Output (query_id, point_id, dist_km), dist
+    rounded to 6 decimals (both the filter and the value, so an oracle
+    computing the same closed form agrees at the boundary).
+
+    Exact by the ring certificate (same geometry as knn_join): a point
+    whose res-cell lies outside the k-ring disk of the query cell is at
+    least (k-1) * min_cell_width away, so k = floor(R/width)+2 makes the
+    broadcast disk a guaranteed superset of the R-ball; the haversine
+    residual filter makes it exact. `resolution=None` picks the finest
+    resolution whose disk needs <= max_ring rings (tightest candidate
+    set that still broadcasts small).
+
+    100 TB shape: the point side is ONE narrow projection + equi-join
+    against a broadcast cell list + a native filter — no point-side
+    shuffle at all; output streams straight from the join. The query
+    side is declared-small (<= max_queries, enforced by a bounded
+    limit-collect, same guardrail discipline as pip_join).
+    """
+    import numpy as np
+
+    from .. import functions as H3F
+    from ..kernel import geo as kgeo
+    from ..kernel import index as ixk
+    from ..kernel import traversal as tv
+
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    if resolution is None:
+        resolution = 0
+        for res in range(15, -1, -1):
+            if int(radius_km / min_cell_width_km(res)) + 2 <= max_ring:
+                resolution = res
+                break
+    k_rings = int(radius_km / min_cell_width_km(resolution)) + 2
+    if k_rings > max_ring:
+        raise ValueError(
+            f"radius {radius_km} km needs {k_rings} rings at res "
+            f"{resolution} (max {max_ring}); use a coarser resolution"
+        )
+    qrows = (
+        queries.select(query_id, q_lat, q_lng).limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"radius_join broadcasts the query side; got > {max_queries} "
+            "rows — pre-aggregate or raise max_queries explicitly"
+        )
+    qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
+    qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
+    qcells = kgeo.latlng_to_cell(qla, qlo, resolution)
+    disk_rows = []
+    for r in range(k_rings + 1):
+        o, c = tv.grid_ring_grouped(qcells, r)
+        strs = ixk.int_to_str(c)
+        for oi, cs in zip(o.tolist(), strs.tolist()):
+            disk_rows.append(
+                (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
+            )
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"])
+    cell = H3F.latlng_to_cell_udf(resolution)
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(p_lat).alias("_plat"),
+        F.col(p_lng).alias("_plng"),
+    ).withColumn("_cell0", cell(F.col("_plat"), F.col("_plng")))
+    dist = F.round(
+        haversine_km(
+            F.col("_qlat"), F.col("_qlng"), F.col("_plat"), F.col("_plng")
+        ),
+        6,
+    )
+    return (
+        pts.join(F.broadcast(qdf), "_cell0")
+        .withColumn("_dist", dist)
+        .filter(F.col("_dist") <= F.lit(float(radius_km)))
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_pid").alias(point_id),
+            F.col("_dist").alias("dist_km"),
+        )
+    )

@@ -444,3 +444,69 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval, fully relational (Robertson/Sparck Jones
+    probabilistic weighting, the Lucene idf form ln(1+(N-df+.5)/(df+.5))).
+
+    `queries` is (query_id, term). Output: (query_id, doc_id, rank,
+    score) ranked by (round(score,6) desc, doc_id asc).
+
+    100 TB shape: the postings list is built once (explode -> two
+    map-side-combinable aggregates); corpus stats (N, avgdl) ride a
+    broadcast 1-row crossJoin instead of a driver collect; the query
+    terms broadcast-join INTO the postings so only matching terms leave
+    the scan, and the final per-(query,doc) sum + top-k window shuffle
+    rows proportional to matches, never to the corpus.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+    qterms = queries.select("query_id", "term")
+    matched = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dfreq = matched.groupBy("term").agg(
+        F.count_distinct(id_col).alias("_df")
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.col("_tf") * F.lit(k1 + 1.0) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    per_qd = scored.groupBy("query_id", id_col).agg(
+        F.sum(idf * norm).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        per_qd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )

@@ -1,0 +1,203 @@
+"""Connected components (graph.py), BM25 retrieval and radius_join —
+the round-3 training-pipeline extensions. CC is property-tested against
+a pure-Python union-find; BM25 against a hand-rolled scorer; radius_join
+against a NumPy brute-force haversine."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkh3.operators import joins, textops
+from sparkh3.operators.graph import connected_components
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+class TestConnectedComponents:
+    def _check(self, spark, edges):
+        nodes = sorted({n for e in edges for n in e})
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        want = set(_uf_components(edges, nodes).items())
+        assert got == want
+
+    def test_two_components_and_chain(self, spark):
+        self._check(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)])
+
+    def test_long_path_worst_case(self, spark):
+        # a 40-node path: the shape that defeats naive one-hop label
+        # propagation in few rounds; star-alternation must still finish
+        self._check(spark, [(i, i + 1) for i in range(40)])
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        self._check(spark, [(5, 3), (3, 5), (5, 3), (7, 3), (9, 9), (2, 9)])
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        out = connected_components(df)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["node", "cluster_id"]
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    ))
+    def test_random_graphs_match_union_find(self, edges):
+        spark = self._spark
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        self._check(spark, edges)
+
+    @pytest.fixture(autouse=True)
+    def _bind_spark(self, spark):
+        self._spark = spark
+
+
+class TestBM25:
+    def test_matches_hand_scorer(self, spark):
+        corpus = [
+            (0, "hash join hash join scan"),
+            (1, "scan scan scan filter"),
+            (2, "join filter merge"),
+            (3, "window sort order order"),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(0, "hash"), (0, "join"), (1, "scan")],
+            "query_id long, term string",
+        )
+        out = textops.bm25_topk(docs, queries, k=3)
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+            for r in out.collect()
+        }
+
+        toks = {d: t.split() for d, t in corpus}
+        n_docs = len(corpus)
+        avgdl = sum(len(t) for t in toks.values()) / n_docs
+
+        def score(doc, terms):
+            s = 0.0
+            for term in terms:
+                tf = toks[doc].count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for t in toks.values() if term in t)
+                idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(toks[doc]) / avgdl)
+                )
+            return s
+
+        for qid, terms in ((0, ["hash", "join"]), (1, ["scan"])):
+            want = sorted(
+                ((d, score(d, terms)) for d, _ in corpus if score(d, terms) > 0),
+                key=lambda x: (-round(x[1], 6), x[0]),
+            )[:3]
+            for rank, (d, s) in enumerate(want, start=1):
+                assert (qid, d) in got
+                grank, gscore = got[(qid, d)]
+                assert grank == rank
+                assert abs(gscore - s) < 1e-9
+
+    def test_no_matches_empty(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "alpha beta")], "doc_id long, text string"
+        )
+        queries = spark.createDataFrame(
+            [(0, "zzz")], "query_id long, term string"
+        )
+        assert textops.bm25_topk(docs, queries).count() == 0
+
+
+class TestRadiusJoin:
+    def _brute(self, q, p, radius):
+        out = set()
+        for qid, qla, qlo in q:
+            for pid, pla, plo in p:
+                d = 2 * 6371.007180918475 * math.asin(math.sqrt(
+                    math.sin(math.radians(pla - qla) / 2) ** 2
+                    + math.cos(math.radians(qla))
+                    * math.cos(math.radians(pla))
+                    * math.sin(math.radians(plo - qlo) / 2) ** 2
+                ))
+                if round(d, 6) <= radius:
+                    out.add((qid, pid))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        rng = np.random.default_rng(7)
+        pla = rng.uniform(40.0, 42.0, 300)
+        plo = rng.uniform(-74.5, -72.5, 300)
+        p = [(i, float(pla[i]), float(plo[i])) for i in range(300)]
+        q = [(0, 40.75, -73.99), (1, 41.5, -73.0), (2, 41.9, -72.6)]
+        qdf = spark.createDataFrame(q, "query_id long, lat double, lng double")
+        pdf = spark.createDataFrame(p, "point_id long, lat double, lng double")
+        got = {
+            (r["query_id"], r["point_id"])
+            for r in joins.radius_join(qdf, pdf, radius_km=25.0).collect()
+        }
+        assert got == self._brute(q, p, 25.0)
+
+    def test_explicit_resolution_and_guardrails(self, spark):
+        q = spark.createDataFrame(
+            [(0, 10.0, 10.0)], "query_id long, lat double, lng double"
+        )
+        p = spark.createDataFrame(
+            [(0, 10.01, 10.01), (1, 12.0, 12.0)],
+            "point_id long, lat double, lng double",
+        )
+        out = joins.radius_join(q, p, radius_km=5.0, resolution=6).collect()
+        assert [(r["query_id"], r["point_id"]) for r in out] == [(0, 0)]
+        with pytest.raises(ValueError):
+            joins.radius_join(q, p, radius_km=0.0)
+        with pytest.raises(ValueError):
+            joins.radius_join(q, p, radius_km=5000.0, resolution=9)
+        with pytest.raises(ValueError):
+            joins.radius_join(q, p, radius_km=5.0, max_queries=0)
+
+    def test_no_point_side_shuffle(self, spark):
+        """The 100 TB contract: the plan contains no Exchange on the
+        point side — broadcast join + filter only."""
+        q = spark.createDataFrame(
+            [(0, 40.75, -73.99)], "query_id long, lat double, lng double"
+        )
+        p = spark.createDataFrame(
+            [(0, 40.76, -73.98)], "point_id long, lat double, lng double"
+        )
+        plan = (
+            joins.radius_join(q, p, radius_km=10.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the only exchange allowed is the broadcast one
+        import re
+
+        shuffles = re.findall(r"Exchange (?!SinglePartition)\S*partitioning", plan)
+        assert all("hashpartitioning" not in s for s in shuffles), plan
