@@ -115,6 +115,15 @@ def connected_components(
         if fp == prev:
             break
         prev = fp
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixed point after {max_iter} "
+            "rounds; results may be partially merged — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixed point: stars centered on component minima. Roots (the
     # minima) have no outgoing src row — they map to themselves.
     assigned = edges.select(

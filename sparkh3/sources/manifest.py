@@ -42,6 +42,31 @@ def _bucket_col(h3_int: F.Column) -> F.Column:
     return H3F.h3_prefix_bucket(h3_int, BUCKET_BITS)
 
 
+def _signed_ranges(ranges) -> list[tuple[int, int]]:
+    """Normalize [lo, hi] uint64 key ranges (e.g. S2 merge_ranges
+    output) to signed-int64 ranges safe for parquet-stat pruning and
+    native long comparison: a range straddling the 2^63 sign boundary
+    splits in two, so every emitted range is sign-homogeneous and the
+    (monotone within each half) uint64->int64 reinterpretation keeps
+    BETWEEN semantics exact."""
+    two63, two64 = 1 << 63, 1 << 64
+    out: list[tuple[int, int]] = []
+    for lo, hi in ranges:
+        lo, hi = int(lo) % two64, int(hi) % two64
+        if lo > hi:
+            raise ValueError(f"range lo {lo} > hi {hi}")
+        parts = []
+        if lo < two63:
+            parts.append((lo, min(hi, two63 - 1)))
+        if hi >= two63:
+            parts.append((max(lo, two63), hi))
+        out.extend(
+            (a - two64 if a >= two63 else a, b - two64 if b >= two63 else b)
+            for a, b in parts
+        )
+    return out
+
+
 def cell_descendant_range(cell: int, storage_res: int) -> tuple[int, int]:
     """[lo, hi] int64 range covering every descendant of `cell` at
     storage_res (inclusive), in index space."""
@@ -63,14 +88,25 @@ def write_table(
     root: str,
     h3_col: str,
     mode: str = "overwrite",
+    key_is_int: bool = False,
 ) -> dict:
-    """Write an H3-keyed table with snapshot manifest. `h3_col` is a
-    15-hex-char string column; rows are clustered by cell."""
+    """Write a cell-keyed table with snapshot manifest. `h3_col` is a
+    15-hex-char H3 string column by default; ``key_is_int=True`` takes
+    an int64 key column as-is (e.g. an S2 cell id) and buckets on its
+    top bits (the spatial prefix in both the S2 and any
+    Hilbert/Z-ordered layout). Rows are clustered by key either way."""
     root_p = Path(root)
     (root_p / "metadata").mkdir(parents=True, exist_ok=True)
     data_dir = root_p / "data"
-    out = df.withColumn("_h3_int", H3F.h3_str_to_int(h3_col))
-    out = out.withColumn("_h3_bucket", _bucket_col(F.col("_h3_int")))
+    if key_is_int:
+        out = df.withColumn("_h3_int", F.col(h3_col).cast("long"))
+        bucket = F.shiftrightunsigned(
+            F.col("_h3_int"), 64 - BUCKET_BITS
+        )
+        out = out.withColumn("_h3_bucket", bucket)
+    else:
+        out = df.withColumn("_h3_int", H3F.h3_str_to_int(h3_col))
+        out = out.withColumn("_h3_bucket", _bucket_col(F.col("_h3_int")))
     # cluster: partition by bucket, sort within partitions by cell int
     out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
     writer = out.write.partitionBy("_h3_bucket").mode(
@@ -112,6 +148,7 @@ def write_table(
         "parent": prev or None,
         "ts": time.time(),
         "h3_col": h3_col,
+        "key_kind": "int" if key_is_int else "h3_str",
         "bucket_bits": BUCKET_BITS,
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
@@ -130,39 +167,60 @@ def load_snapshot(root: str, version: int | None = None) -> dict:
     return json.loads((root_p / "metadata" / f"v{version}.json").read_text())
 
 
+def _cells_to_ranges(snap: dict, cells: list[str]) -> list[tuple[int, int]]:
+    cell_ints = [int(c, 16) for c in cells]
+    # storage res from any file's min
+    any_min = next(f["h3_min"] for f in snap["files"] if f["h3_min"] is not None)
+    storage_res = int(ix.get_resolution(np.array([any_min], dtype=np.uint64))[0])
+    return [cell_descendant_range(c, storage_res) for c in cell_ints]
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     cells: list[str] | None = None,
+    ranges=None,
     version: int | None = None,
 ) -> DataFrame:
-    """Read a table, pruning files by manifest h3 ranges when `cells`
-    (query cells, any resolution >= coarser than storage) are given."""
+    """Read a table, pruning files by manifest key ranges.
+
+    ``cells``: H3 query cells (any resolution coarser-or-equal than
+    storage) — H3-string-keyed tables only. ``ranges``: generic [lo, hi]
+    uint64 key ranges (e.g. ``kernel.s2.merge_ranges`` output for an S2
+    region covering, sign-split internally) — works for any int-keyed
+    table. Either way the file list shrinks BEFORE Spark plans (Iceberg
+    manifest-pruning shape) and an exact residual range filter pushes
+    down to parquet row groups."""
     snap = load_snapshot(root, version)
     root_p = Path(root)
     paths = [str(root_p / f["path"]) for f in snap["files"]]
+    if cells and ranges:
+        raise ValueError("pass cells= or ranges=, not both")
+    key_ranges = None
     if cells:
-        cell_ints = [int(c, 16) for c in cells]
-        # storage res from any file's min
-        any_min = next(f["h3_min"] for f in snap["files"] if f["h3_min"] is not None)
-        storage_res = int(ix.get_resolution(np.array([any_min], dtype=np.uint64))[0])
-        ranges = [cell_descendant_range(c, storage_res) for c in cell_ints]
+        key_ranges = _cells_to_ranges(snap, cells)
+    elif ranges is not None:
+        key_ranges = _signed_ranges(ranges)
+    if key_ranges is not None:
         keep = []
         for f in snap["files"]:
             if f["h3_min"] is None:
                 keep.append(f)
                 continue
-            if any(not (f["h3_max"] < lo or f["h3_min"] > hi) for lo, hi in ranges):
+            if any(
+                not (f["h3_max"] < lo or f["h3_min"] > hi)
+                for lo, hi in key_ranges
+            ):
                 keep.append(f)
         paths = [str(root_p / f["path"]) for f in keep]
         if not paths:
             return spark.read.parquet(str(root_p / snap["files"][0]["path"])).limit(0)
     df = spark.read.parquet(*paths)
-    if cells:
+    if key_ranges is not None:
         # exact residual filter (file pruning keeps a superset); range
         # predicates on the int64 cell push down to parquet row groups
         conds = None
-        for lo, hi in ranges:
+        for lo, hi in key_ranges:
             cond = (F.col("_h3_int") >= F.lit(lo)) & (F.col("_h3_int") <= F.lit(hi))
             conds = cond if conds is None else (conds | cond)
         if conds is not None:
@@ -170,17 +228,21 @@ def read_table(
     return df
 
 
-def pruned_file_count(root: str, cells: list[str]) -> tuple[int, int]:
-    """(kept, total) file counts for a cell filter — for tests/metrics."""
+def pruned_file_count(
+    root: str, cells: list[str] | None = None, ranges=None
+) -> tuple[int, int]:
+    """(kept, total) file counts for a cell/range filter — tests/metrics."""
     snap = load_snapshot(root)
-    cell_ints = [int(c, 16) for c in cells]
-    any_min = next(f["h3_min"] for f in snap["files"] if f["h3_min"] is not None)
-    storage_res = int(ix.get_resolution(np.array([any_min], dtype=np.uint64))[0])
-    ranges = [cell_descendant_range(c, storage_res) for c in cell_ints]
+    key_ranges = (
+        _cells_to_ranges(snap, cells) if cells else _signed_ranges(ranges)
+    )
     kept = sum(
         1
         for f in snap["files"]
         if f["h3_min"] is None
-        or any(not (f["h3_max"] < lo or f["h3_min"] > hi) for lo, hi in ranges)
+        or any(
+            not (f["h3_max"] < lo or f["h3_min"] > hi)
+            for lo, hi in key_ranges
+        )
     )
     return kept, len(snap["files"])

@@ -124,3 +124,90 @@ class TestCheckpointResume:
         m2 = checkpoint.stage_metrics(ckpt, "s")
         assert sum(m["rows_in"] for m in m2) == 80
         assert m1 != m2
+
+
+class TestS2IntKeyedTable:
+    """S2-keyed manifest table: covering -> merge_ranges -> file pruning.
+    Exercises the int-key write path and the sign-split range pruning
+    (S2 faces 4-5 have the uint64 top bit set -> negative int64)."""
+
+    @pytest.fixture(scope="class")
+    def s2_docs(self, spark):
+        from sparkh3 import functions as H3F
+
+        d = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(d).select("doc_id", "lat", "lng")
+        return pts.withColumn(
+            "s2_14", H3F.latlng_to_s2_udf(14)(F.col("lat"), F.col("lng"))
+        )
+
+    def test_roundtrip_and_covering_prune(self, spark, s2_docs, tmp_path):
+        import numpy as np
+
+        from sparkh3.kernel import s2 as s2k
+
+        root = str(tmp_path / "s2tbl")
+        snap = manifest.write_table(s2_docs, root, "s2_14", key_is_int=True)
+        assert snap["key_kind"] == "int"
+        assert manifest.read_table(spark, root).count() == snap["total_rows"]
+
+        rect = (38.0, 43.0, -77.0, -71.0)
+        cov = s2k.rect_covering(*rect, 7)
+        lo, hi = s2k.merge_ranges(cov)
+        ranges = list(zip(lo.tolist(), hi.tolist()))
+        kept, total = manifest.pruned_file_count(root, ranges=ranges)
+        assert kept < total
+        got = manifest.read_table(spark, root, ranges=ranges)
+        # superset contract: every row inside the rect survives pruning
+        inside = (
+            (F.col("lat") >= rect[0]) & (F.col("lat") <= rect[1])
+            & (F.col("lng") >= rect[2]) & (F.col("lng") <= rect[3])
+        )
+        n_inside_full = manifest.read_table(spark, root).filter(inside).count()
+        assert n_inside_full > 0
+        assert got.filter(inside).count() == n_inside_full
+        # exactness of the range filter itself: pruned read == full scan
+        # filtered by uint64-range membership computed kernel-side
+        full = manifest.read_table(spark, root).select("_h3_int").toPandas()
+        keys = full["_h3_int"].to_numpy().astype(np.int64).view(np.uint64)
+        mask = np.zeros(len(keys), dtype=bool)
+        for a, b in zip(lo, hi):
+            mask |= (keys >= a) & (keys <= b)
+        assert got.count() == int(mask.sum())
+
+    def test_sign_split_ranges(self):
+        two63, two64 = 1 << 63, 1 << 64
+        out = manifest._signed_ranges([(two63 - 5, two63 + 5)])
+        assert out == [(two63 - 5, two63 - 1), (-two64 + two63, -two64 + two63 + 5)]
+        assert manifest._signed_ranges([(3, 9)]) == [(3, 9)]
+        with pytest.raises(ValueError):
+            manifest._signed_ranges([(9, 3)])
+
+    def test_negative_face_keys_prune_exactly(self, spark, tmp_path):
+        """Keys on faces 4-5 (negative int64) round-trip the manifest
+        and range-prune correctly."""
+        import numpy as np
+
+        from sparkh3.kernel import s2 as s2k
+
+        rng = np.random.default_rng(11)
+        la = rng.uniform(-60.0, -20.0, 400)
+        lo_ = rng.uniform(-120.0, -60.0, 400)  # face 4/5 heavy region
+        cells = s2k.latlng_to_cell(la, lo_, 14).view(np.int64)
+        df = spark.createDataFrame(
+            [(int(i), int(c)) for i, c in enumerate(cells)],
+            "row_id long, s2_14 long",
+        )
+        root = str(tmp_path / "negtbl")
+        manifest.write_table(df, root, "s2_14", key_is_int=True)
+        rect = (-55.0, -30.0, -110.0, -70.0)
+        cov = s2k.rect_covering(*rect, 6)
+        rlo, rhi = s2k.merge_ranges(cov)
+        got = manifest.read_table(
+            spark, root, ranges=list(zip(rlo.tolist(), rhi.tolist()))
+        )
+        keys = cells.view(np.uint64)
+        mask = np.zeros(len(keys), dtype=bool)
+        for a, b in zip(rlo, rhi):
+            mask |= (keys >= a) & (keys <= b)
+        assert got.count() == int(mask.sum()) > 0
