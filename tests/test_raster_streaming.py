@@ -194,3 +194,85 @@ class TestStreaming:
             r.cell: (r.n_total, r.sum_value) for r in run_available()
         }
         assert got[cell] == (3, 15.0)
+
+
+class TestTransformWithState:
+    def test_streaming_exact_dedup_across_batches(self, spark, tmp_path):
+        """transformWithStateInPandas keeps keeper identity + lifetime
+        dup counts across micro-batches AND across restarted
+        availableNow runs (checkpointed state)."""
+        from pyspark.sql import Row
+
+        from sparkh3.streaming import dedup
+
+        src = tmp_path / "dsrc"
+        src.mkdir()
+        # coalesce(1): one parquet part per logical batch, so
+        # maxFilesPerTrigger=1 means one micro-batch per write below
+        spark.createDataFrame(
+            [Row(doc_id="a", text="same text"),
+             Row(doc_id="b", text="same text"),
+             Row(doc_id="c", text="other")]
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        schema = "doc_id string, text string"
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        out = dedup.streaming_exact_dedup(stream)
+
+        def run_available():
+            rows: list = []
+
+            def sink(bdf, bid):
+                rows.extend(bdf.collect())
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "dckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return rows
+
+        first = {r.text_hash: r for r in run_available()}
+        assert len(first) == 2
+        by_keeper = {r.keeper_id: r for r in first.values()}
+        assert by_keeper["a"].n_seen == 2 and by_keeper["a"].is_new
+        assert by_keeper["c"].n_seen == 1 and by_keeper["c"].is_new
+
+        # second run: one more dup of "same text" + a fresh doc
+        spark.createDataFrame(
+            [Row(doc_id="d", text="same text"),
+             Row(doc_id="e", text="brand new")]
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        got = {r.keeper_id: r for r in run_available()}
+        # keeper survives the restart: still 'a', now 3 lifetime sights
+        assert got["a"].n_seen == 3 and not got["a"].is_new
+        assert got["e"].n_seen == 1 and got["e"].is_new
+        assert "d" not in got
+
+    def test_tws_engine_gate(self, spark):
+        """The transformWithStateInPandas path is import-gated on
+        protobuf: clear error when absent, identical plumbing when
+        present (processor builds against the live API either way)."""
+        from sparkh3.streaming import dedup
+
+        proc = dedup._make_tws_processor()
+        assert hasattr(proc, "handleInputRows")
+        if not dedup.HAS_TWS_DEPS:
+            src = spark.readStream.format("rate").load().selectExpr(
+                "cast(value as string) AS doc_id",
+                "cast(value as string) AS text",
+            )
+            with pytest.raises(ImportError, match="protobuf"):
+                dedup.streaming_exact_dedup(src, engine="tws")
+        with pytest.raises(ValueError, match="unknown engine"):
+            dedup.streaming_exact_dedup(
+                spark.readStream.format("rate").load().selectExpr(
+                    "cast(value as string) AS doc_id",
+                    "cast(value as string) AS text",
+                ),
+                engine="bogus",
+            )
