@@ -25,7 +25,10 @@ from sparkh3 import dataframe as dfo  # noqa: E402
 from sparkh3 import datagen  # noqa: E402
 from sparkh3 import functions as H3F  # noqa: E402
 from sparkh3.operators import joins, similarity, spans, textops  # noqa: E402
-from sparkh3.operators.graph import connected_components  # noqa: E402
+from sparkh3.operators.graph import (  # noqa: E402
+    connected_components,
+    dedup_by_pairs,
+)
 
 # ---------------------------------------------------------------------------
 # shared synthetic-cell construction (pure integer arithmetic, identical in
@@ -526,6 +529,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's endpoint: the corpus with every near-dup
+    component reduced to its min-id keeper (graph.dedup_by_pairs —
+    one anti-join against the loser set)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.4)
+    kept = dedup_by_pairs(emb, pairs, id_col="vec_id", src="id_a", dst="id_b")
+    return kept.select("vec_id", "label")
+
+
 _BM25_QUERIES = [
     (0, "hash"), (0, "join"),
     (1, "vector"), (1, "scan"), (1, "slow"),
@@ -613,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_geometry_grid": q_extract_geometry_grid,
         "jaccard_verify": q_jaccard_verify,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -820,6 +834,20 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT src, src FROM e UNION "
             "SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node) "
             "SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1"
+        ),
+        "dedup_keep": (
+            "WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4), "
+            "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "reach(node, r) AS (SELECT src, src FROM e UNION "
+            "SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node), "
+            "losers AS (SELECT node FROM reach GROUP BY node "
+            "HAVING node <> min(r)) "
+            "SELECT vec_id, label FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT node FROM losers)"
         ),
         "bm25_search": (
             f"WITH q(query_id, term) AS (VALUES {_bm25_values}), "

@@ -35,10 +35,31 @@ def main() -> None:
     from sparkh3 import dataframe as dfo
     from sparkh3 import datagen
     from sparkh3.operators import skew, spans
-    from sparkh3.plans import checkpoint
+    from sparkh3.plans import checkpoint, tuning
     from sparkh3.sources import manifest
 
     skew.apply_aqe(spark)
+
+    # spill-aware sizing from the actual input footprint + this app's
+    # resources (plans/tuning.py); runtime-settable confs only
+    sc = spark.sparkContext
+    input_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(sf_dir).glob("*.parquet")
+    )
+    execs = int(sc.getConf().get("spark.executor.instances", "0") or 0) or 1
+    conf = tuning.recommended_conf(
+        max(input_bytes, 1),
+        executors=execs,
+        cores_per_executor=max(1, sc.defaultParallelism // execs),
+        executor_mem_bytes=tuning.parse_mem(
+            sc.getConf().get("spark.executor.memory", "4g")
+        ),
+        shuffle_ratio=0.5,  # narrow projections: spans -> (id, lat, lng)
+    )
+    for k, v in conf.items():
+        if k.startswith("spark.sql."):
+            spark.conf.set(k, v)
 
     docs = datagen.interleaved_documents(spark, sf_dir)
     pts = spans.extract_geometry(docs).select("doc_id", "lat", "lng")

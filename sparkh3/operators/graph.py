@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "dedup_by_pairs"]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -136,3 +136,25 @@ def connected_components(
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+def dedup_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: drop every member of a
+    near-dup component except its minimum-id keeper. Rows never named in
+    `pairs` pass through untouched.
+
+    100 TB shape: the loser set (components minus keepers) is the ONLY
+    thing joined against the corpus — one broadcast-or-shuffle anti-join
+    on the id column; document payloads never enter the component
+    computation."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    losers = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "anti")

@@ -201,3 +201,29 @@ class TestRadiusJoin:
 
         shuffles = re.findall(r"Exchange (?!SinglePartition)\S*partitioning", plan)
         assert all("hashpartitioning" not in s for s in shuffles), plan
+
+
+class TestDedupByPairs:
+    def test_keeps_min_per_component_and_passthrough(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 5), (6, 7)], "src long, dst long"
+        )
+        from sparkh3.operators.graph import dedup_by_pairs
+
+        kept = sorted(
+            r["doc_id"] for r in dedup_by_pairs(docs, pairs).collect()
+        )
+        # components {1,2,5} -> keep 1; {6,7} -> keep 6; 0,3,4 untouched
+        assert kept == [0, 1, 3, 4, 6]
+
+    def test_empty_pairs_identity(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(4)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "src long, dst long")
+        from sparkh3.operators.graph import dedup_by_pairs
+
+        assert dedup_by_pairs(docs, pairs).count() == 4
