@@ -267,6 +267,46 @@ def q_s2_rect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("rect").agg(F.count("*").alias("n_docs"))
 
 
+def q_s2_cap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query doc counts within 300 km, through the S2 path: cap
+    covering (kernel cap_covering, guaranteed superset) -> broadcast
+    equi-join on each point's level-7 S2 ancestor -> exact haversine
+    residual. Oracle: pure haversine cross-join counts. Same 100 TB
+    shape as s2_rect_count — one int64 ancestor per point, no
+    point-side shuffle."""
+    import numpy as np
+
+    from sparkh3.kernel import s2 as s2k
+
+    level, radius = 7, 300.0
+    rows = []
+    for qid, qla, qln in _KNN_QUERIES:
+        for c in s2k.cap_covering(qla, qln, radius, level).view(np.int64):
+            rows.append((qid, int(c), float(qla), float(qln)))
+    cov = spark.createDataFrame(
+        rows, "query_id long, s2_07 long, qlat double, qlng double"
+    )
+    pts = _docs_points(spark, sf_dir)
+    enc = pts.withColumn(
+        "s2_07",
+        H3F.s2_parent_int(
+            H3F.latlng_to_s2_udf(14)(F.col("lat"), F.col("lng")), level
+        ),
+    )
+    dist = F.round(
+        joins.haversine_km(
+            F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")
+        ),
+        6,
+    )
+    hits = (
+        enc.join(F.broadcast(cov), "s2_07")
+        .withColumn("_d", dist)
+        .filter(F.col("_d") <= F.lit(radius))
+    )
+    return hits.groupBy("query_id").agg(F.count("*").alias("n_docs"))
+
+
 def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact point-in-polygon join (H3 cover prejoin + ray-cast refine)
     vs a pure BETWEEN oracle."""
@@ -613,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chained_rollup": q_chained_rollup,
         "s2_rollup": q_s2_rollup,
         "s2_rect_count": q_s2_rect_count,
+        "s2_cap_count": q_s2_cap_count,
         "pip_join_rect": q_pip_join_rect,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -875,6 +916,13 @@ def oracle_sql() -> dict[str, str]:
             f"d AS (SELECT q.query_id, p.doc_id AS point_id, "
             f"round({hav}, 6) AS dist_km FROM q CROSS JOIN pts p) "
             "SELECT query_id, point_id, dist_km FROM d WHERE dist_km <= 300.0"
+        ),
+        "s2_cap_count": (
+            f"WITH pts AS ({pts}), q AS ({knn_union}), "
+            f"d AS (SELECT q.query_id, round({hav}, 6) AS dist_km "
+            "FROM q CROSS JOIN pts p) "
+            "SELECT query_id, count(*) AS n_docs FROM d "
+            "WHERE dist_km <= 300.0 GROUP BY 1"
         ),
         "media_features": (
             f"WITH d AS ({spans_cte}), "

@@ -362,6 +362,58 @@ def rect_covering(
     )
 
 
+EARTH_RADIUS_KM = 6371.007180918475  # same authalic radius as joins.py
+
+
+def _may_intersect_cap(
+    cells: np.ndarray, clat: float, clng: float, radius_rad: float
+) -> np.ndarray:
+    """Conservative (never-false-negative) cell-vs-spherical-cap test:
+    a cell lies inside the union of caps of angular radius D (the
+    level's diagonal bound) around its 4 vertices, so
+    min vertex-to-center distance <= cap radius + D is a true superset
+    condition for intersection."""
+    cells = _asu64(cells)
+    lev = get_level(cells)
+    vlat, vlng = cell_vertices_latlng(cells)
+    d = np.radians(180.0) * np.power(2.0, -lev.astype(np.float64))
+    # haversine angular distance vertex -> cap center
+    dphi = np.radians(vlat - clat)
+    dlmb = np.radians(vlng - clng)
+    a = (
+        np.sin(dphi / 2.0) ** 2
+        + np.cos(np.radians(clat))
+        * np.cos(np.radians(vlat))
+        * np.sin(dlmb / 2.0) ** 2
+    )
+    ang = 2.0 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+    return ang.min(axis=1) <= radius_rad + d
+
+
+def cap_covering(
+    lat: float, lng: float, radius_km: float, level: int
+) -> np.ndarray:
+    """All cells at `level` that may intersect the spherical cap of
+    `radius_km` around (lat, lng) — a guaranteed superset (same BFS
+    subdivide + conservative-test contract as `rect_covering`; feeds the
+    same `merge_ranges` -> manifest pruning path and `s2_parent_int`
+    covering joins)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    radius_rad = radius_km / EARTH_RADIUS_KM
+    frontier = np.array(
+        [(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64
+    )
+    for _ in range(level):
+        keep = frontier[_may_intersect_cap(frontier, lat, lng, radius_rad)]
+        frontier = cell_to_children(keep)
+    return np.sort(
+        frontier[_may_intersect_cap(frontier, lat, lng, radius_rad)]
+    )
+
+
 def merge_ranges(cells) -> tuple[np.ndarray, np.ndarray]:
     """Covering cells -> minimal sorted disjoint [leaf_min, leaf_max]
     id ranges (adjacent/overlapping ranges coalesced) — the containment

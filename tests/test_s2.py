@@ -129,6 +129,39 @@ class TestCovering:
         par2 = s2.cell_to_parent(s2.latlng_to_cell(la2, lo2, 30), 5)
         assert np.isin(par2, pole).all()
 
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.floats(min_value=-88.0, max_value=88.0),
+        st.floats(min_value=-180.0, max_value=180.0),
+        st.floats(min_value=5.0, max_value=1500.0),
+        st.integers(min_value=2, max_value=9),
+        st.integers(min_value=0, max_value=2**32),
+    )
+    def test_cap_covering_is_superset(self, clat, clng, rkm, level, seed):
+        cov = s2.cap_covering(clat, clng, rkm, level)
+        rng = np.random.default_rng(seed)
+        # sample points inside the cap: random bearing + radius
+        br = rng.uniform(0, 2 * np.pi, 300)
+        rr = rkm / s2.EARTH_RADIUS_KM * np.sqrt(rng.random(300))
+        la1 = np.radians(clat)
+        la2 = np.arcsin(
+            np.sin(la1) * np.cos(rr) + np.cos(la1) * np.sin(rr) * np.cos(br)
+        )
+        lo2 = np.radians(clng) + np.arctan2(
+            np.sin(br) * np.sin(rr) * np.cos(la1),
+            np.cos(rr) - np.sin(la1) * np.sin(la2),
+        )
+        la = np.degrees(la2)
+        lo = (np.degrees(lo2) + 180.0) % 360.0 - 180.0
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), level)
+        assert np.isin(par, cov).all()
+
+    def test_cap_bad_inputs(self):
+        with pytest.raises(ValueError):
+            s2.cap_covering(0.0, 0.0, -1.0, 7)
+        with pytest.raises(ValueError):
+            s2.cap_covering(0.0, 0.0, 10.0, 31)
+
     def test_merge_ranges(self):
         cov = s2.rect_covering(38.0, 43.0, -77.0, -71.0, 7)
         lo, hi = s2.merge_ranges(cov)
