@@ -335,6 +335,36 @@ def run_scaling_workload(spark, sf_dir: str, amp: int) -> int:
     return 2 * n  # rows through encode+agg and through the PIP join
 
 
+def run_extended(spark, sf_dir: str, runs: int = 2) -> dict:
+    """Round-3 training-pipeline operators, timed OUTSIDE the headline
+    total (so `value` stays comparable across rounds): BM25 retrieval,
+    radius geo join, and the minhash->connected-components dedup
+    clustering chain. Min-of-`runs` each, same discipline as the suite."""
+    import __spark_entry__ as E
+    from sparkh3.operators import graph, textops
+
+    out: dict[str, float] = {}
+
+    def best_of(name, fn):
+        t = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            t = min(t, time.time() - t0)
+        out[name] = round(t, 3)
+
+    best_of("x1_bm25_search", lambda: E.q_bm25_search(spark, sf_dir).count())
+    best_of("x2_radius_join", lambda: E.q_radius_join(spark, sf_dir).count())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def cc_chain():
+        pairs = textops.minhash_lsh_dedup(docs, jaccard_threshold=0.35)
+        graph.connected_components(pairs, src="id_a", dst="id_b").count()
+
+    best_of("x3_minhash_cc_clusters", cc_chain)
+    return out
+
+
 def run_leg(threads: int, sf_dir: str, runs: int = SUITE_RUNS) -> tuple[dict, int, float]:
     """Suite leg: `runs` full passes, each query reporting its MINIMUM —
     the total is the sum of per-query minimums (the clean-host figure a
@@ -447,6 +477,11 @@ def main() -> None:
         "threads": CPUS,
         "runs_per_query": SUITE_RUNS,
     }
+    if os.environ.get("SPARK_GRAFT_EXTENDED", "1") == "1":
+        ext = _session(CPUS)
+        ext.sparkContext.setLogLevel("ERROR")
+        result["extended_queries"] = run_extended(ext, SF_DIR)
+        ext.stop()
     if DO_SCALING:
         # N -> 4N evidence. This sandbox's timing noise (first-touch page
         # faults ~100x, random ~15s stage stalls) swamps single runs, so

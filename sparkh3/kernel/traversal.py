@@ -246,3 +246,12 @@ def grid_path(a: int, b: int) -> np.ndarray:
     keep = np.ones(len(out), dtype=bool)
     keep[1:] = out[1:] != out[:-1]
     return out[keep]
+
+
+def grid_distance(a: int, b: int) -> int:
+    """Hex grid distance (public H3 gridDistance semantics): the number
+    of grid steps on a minimal path — `grid_path` is built by stepping
+    exactly one cell per lattice unit, so its length - 1 IS the
+    distance (and inherits grid_path's cross-face frames where the
+    reference implementation errors)."""
+    return len(grid_path(a, b)) - 1

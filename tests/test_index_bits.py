@@ -131,3 +131,27 @@ class TestRotations:
         h = s2i("891e3097383ffff")
         lead = ix.leading_non_zero_digit(h)
         assert 1 <= int(lead[0]) <= 6
+
+
+class TestGridDistance:
+    def test_ring_membership_is_distance(self):
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        origin = int(kgeo.latlng_to_cell(np.array([40.75]), np.array([-73.99]), 8)[0])
+        for k in (0, 1, 2, 4):
+            ring = tv.grid_ring(origin, k)
+            for c in ring.tolist()[:6]:
+                assert tv.grid_distance(origin, int(c)) == k
+                assert tv.grid_distance(int(c), origin) == k
+
+    def test_identity(self):
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        c = int(kgeo.latlng_to_cell(np.array([10.0]), np.array([10.0]), 9)[0])
+        assert tv.grid_distance(c, c) == 0
