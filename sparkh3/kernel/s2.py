@@ -259,7 +259,15 @@ def cell_to_children(cell) -> np.ndarray:
 def cell_vertices_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
     """The 4 corner vertices of each cell in degrees — (n,4) lat and
     (n,4) lng arrays, corner order (0,0),(1,0),(0,1),(1,1) in st space."""
-    face, i, j, lev = _to_face_ij(cell)
+    return _vertices_from_fij(*_to_face_ij(cell))
+
+
+def _vertices_from_fij(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, lev: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """cell_vertices_latlng on already-decoded (face, i, j, level) —
+    the BFS coverers decode each frontier once and reuse it here (the
+    30-step Hilbert walk dominates covering cost)."""
     denom = np.power(2.0, lev.astype(np.float64))
     lat = np.empty((len(face), 4), dtype=np.float64)
     lng = np.empty((len(face), 4), dtype=np.float64)
@@ -289,7 +297,7 @@ def _may_intersect_rect(
     exactness comes from the caller's residual bbox filter."""
     cells = _asu64(cells)
     face, i, j, lev = _to_face_ij(cells)
-    vlat, vlng = cell_vertices_latlng(cells)
+    vlat, vlng = _vertices_from_fij(face, i, j, lev)
     exp = 180.0 * np.power(2.0, -lev.astype(np.float64))
 
     lat_min = vlat.min(axis=1) - exp

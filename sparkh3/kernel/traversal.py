@@ -172,6 +172,13 @@ def grid_path(a: int, b: int) -> np.ndarray:
     if a == b:
         return np.array([a], dtype=np.uint64)
     res = int(ix.get_resolution(np.array([a]))[0])
+    res_b = int(ix.get_resolution(np.array([b]))[0])
+    if res != res_b:
+        # public H3 errors on mixed resolutions; a silent answer would
+        # interpolate across mismatched lattice scales
+        raise ValueError(
+            f"grid_path requires equal resolutions, got {res} and {res_b}"
+        )
     # canonical local frame: the home face of the origin's base cell
     from .constants import BASE_CELL_DATA
 

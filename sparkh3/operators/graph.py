@@ -74,24 +74,23 @@ def connected_components(
     bounds the worst case (a path graph needs O(log n) rounds); dedup
     graphs converge in 2-3.
     """
-    edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
+    raw = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # node universe from the RAW pairs (self-loop-only nodes still get a
+    # row mapping to themselves); localCheckpoint so the possibly-huge
+    # pair lineage (e.g. a similarity self-join) is computed exactly
+    # once for the whole call
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        raw.filter(F.col("src") != F.col("dst")).distinct().persist()
     )
     if edges.isEmpty():
         edges.unpersist()
-        nodes.unpersist()
-        return pairs.sparkSession.createDataFrame(
-            [], "node long, cluster_id long"
-        )
+        return nodes.select("node", F.col("node").alias("cluster_id"))
 
     def _fingerprint(e: DataFrame):
         # bit_xor: order-insensitive, overflow-free (ANSI-safe) — edges
@@ -132,9 +131,11 @@ def connected_components(
     roots = nodes.join(
         assigned.select("node"), "node", "anti"
     ).select("node", F.col("node").alias("cluster_id"))
-    out = assigned.unionByName(roots)
+    # materialize BEFORE dropping the caches the lazy plan depends on
+    # (the result is one small row per node; recomputing it later would
+    # re-derive the full pair lineage)
+    out = assigned.unionByName(roots).localCheckpoint(eager=True)
     edges.unpersist()
-    nodes.unpersist()
     return out
 
 

@@ -461,18 +461,23 @@ def bm25_topk(
     `queries` is (query_id, term). Output: (query_id, doc_id, rank,
     score) ranked by (round(score,6) desc, doc_id asc).
 
-    100 TB shape: the postings list is built once (explode -> two
-    map-side-combinable aggregates); corpus stats (N, avgdl) ride a
+    100 TB shape: ONE tokenize+explode pass feeds everything — doc
+    lengths and corpus stats are derived from the tf aggregate, so the
+    scan+explode+first-exchange subtree is shared (ReusedExchange)
+    rather than recomputed per branch; corpus stats (N, avgdl) ride a
     broadcast 1-row crossJoin instead of a driver collect; the query
-    terms broadcast-join INTO the postings so only matching terms leave
-    the scan, and the final per-(query,doc) sum + top-k window shuffle
-    rows proportional to matches, never to the corpus.
+    terms broadcast-join INTO the postings so only matching postings
+    continue past the scan. The one corpus-proportional piece left is
+    the (doc_id, dl) join that attaches lengths to matched docs — a
+    narrow two-column shuffle, inherent to BM25's per-doc normalizer.
     """
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
-    dl = tok.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    # doc length from tf, NOT a second pass over tok: sum of term
+    # frequencies per doc == token count, and the tf exchange is reused
+    dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     stats = dl.agg(
         F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
     )

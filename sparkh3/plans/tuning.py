@@ -31,9 +31,12 @@ SPARK_MEMORY_FRACTION = 0.6  # spark.memory.fraction default
 
 
 def parse_mem(s: str) -> int:
-    """'4g' / '512m' / '64G' / plain bytes -> bytes (the
-    spark.executor.memory grammar subset that matters)."""
+    """'4g' / '512m' / '8gb' / '64G' / plain bytes -> bytes (Spark's
+    JavaUtils byte-string grammar: optional k/m/g/t with optional
+    trailing 'b')."""
     s = s.strip().lower()
+    if s.endswith("b") and len(s) > 1 and not s[-2].isdigit():
+        s = s[:-1]
     units = {"k": 1 << 10, "m": MIB, "g": GIB, "t": 1 << 40}
     if s and s[-1] in units:
         return int(float(s[:-1]) * units[s[-1]])

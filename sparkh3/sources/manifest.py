@@ -168,6 +168,12 @@ def load_snapshot(root: str, version: int | None = None) -> dict:
 
 
 def _cells_to_ranges(snap: dict, cells: list[str]) -> list[tuple[int, int]]:
+    if snap.get("key_kind", "h3_str") != "h3_str":
+        raise ValueError(
+            "cells= pruning requires an H3-string-keyed table; this table "
+            f"is key_kind={snap.get('key_kind')!r} — pass ranges= "
+            "(e.g. from kernel.s2.merge_ranges) instead"
+        )
     cell_ints = [int(c, 16) for c in cells]
     # storage res from any file's min
     any_min = next(f["h3_min"] for f in snap["files"] if f["h3_min"] is not None)
@@ -232,6 +238,8 @@ def pruned_file_count(
     root: str, cells: list[str] | None = None, ranges=None
 ) -> tuple[int, int]:
     """(kept, total) file counts for a cell/range filter — tests/metrics."""
+    if not cells and ranges is None:
+        raise ValueError("pass cells= or ranges=")
     snap = load_snapshot(root)
     key_ranges = (
         _cells_to_ranges(snap, cells) if cells else _signed_ranges(ranges)

@@ -227,3 +227,64 @@ class TestDedupByPairs:
         from sparkh3.operators.graph import dedup_by_pairs
 
         assert dedup_by_pairs(docs, pairs).count() == 4
+
+
+class TestReviewRegressions:
+    """Round-3 review findings: self-loop-only nodes, mixed-res
+    grid_path, manifest key_kind guard, parse_mem grammar."""
+
+    def test_cc_self_loop_only_node(self, spark):
+        pairs = spark.createDataFrame(
+            [(7, 7), (1, 2)], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {(7, 7), (1, 1), (2, 1)}
+        only_loop = spark.createDataFrame([(5, 5)], "src long, dst long")
+        got2 = [
+            (r["node"], r["cluster_id"])
+            for r in connected_components(only_loop).collect()
+        ]
+        assert got2 == [(5, 5)]
+
+    def test_grid_path_mixed_resolution_raises(self):
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        a = int(kgeo.latlng_to_cell(np.array([10.0]), np.array([10.0]), 8)[0])
+        b = int(kgeo.latlng_to_cell(np.array([10.1]), np.array([10.1]), 9)[0])
+        with pytest.raises(ValueError, match="equal resolutions"):
+            tv.grid_path(a, b)
+        with pytest.raises(ValueError, match="equal resolutions"):
+            tv.grid_distance(a, b)
+
+    def test_manifest_key_kind_guard(self, spark, tmp_path):
+        import numpy as np
+
+        from sparkh3.kernel import s2 as s2k
+        from sparkh3.sources import manifest
+
+        cells = s2k.latlng_to_cell(
+            np.array([10.0, 20.0]), np.array([10.0, 20.0]), 14
+        ).view(np.int64)
+        df = spark.createDataFrame(
+            [(int(i), int(c)) for i, c in enumerate(cells)],
+            "row_id long, s2_14 long",
+        )
+        root = str(tmp_path / "guard")
+        manifest.write_table(df, root, "s2_14", key_is_int=True)
+        with pytest.raises(ValueError, match="key_kind"):
+            manifest.read_table(spark, root, cells=["8928308280fffff"])
+        with pytest.raises(ValueError, match="cells= or ranges="):
+            manifest.pruned_file_count(root)
+
+    def test_parse_mem_spark_grammar(self):
+        from sparkh3.plans import tuning
+
+        assert tuning.parse_mem("8gb") == 8 * (1 << 30)
+        assert tuning.parse_mem("512mb") == 512 * (1 << 20)
+        assert tuning.parse_mem("2t") == 2 * (1 << 40)

@@ -101,3 +101,19 @@ def test_lsh_ann_single_signature_pass(spark):
     # re-attach scans: anything above 4 means a table-per-signature
     # regression (was 8+ before the one-pass matmul landed)
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_bm25_single_tokenize_pass_via_exchange_reuse(spark):
+    """BM25 derives doc lengths and corpus stats from the tf aggregate:
+    under AQE the tf exchange is reused at runtime, so the corpus is
+    tokenized once (the 100 TB claim in textops.bm25_topk)."""
+    from sparkh3.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d " * 5) for i in range(100)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(0, "a"), (0, "b")], "query_id long, term string")
+    out = textops.bm25_topk(docs, q)
+    out.collect()
+    plan = _plan(out)
+    assert plan.count("ReusedExchange") >= 1, plan
