@@ -569,6 +569,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shaping chain: hash sample (Knuth
+    multiplicative — portable integer arithmetic, so the sampling
+    decisions themselves are oracled) -> per-source quota -> token-budget
+    sequence packing (exclusive-prefix-sum binning, one window per
+    source partition; no global sort)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = textops.hash_sample(docs, 0.5, seed=7)
+    q = textops.quota_sample(s, "source", cap=8, seed=7)
+    packed = textops.pack_sequences(q, token_budget=2000)
+    return packed.select("doc_id", "source", "n_tokens", "bin_id")
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 2 distinct
+    word-trigrams with any probe doc (probe set = doc_id % 97 == 0,
+    deterministic). String shingles for exact cross-engine parity; the
+    at-scale form hashes them (hash_shingles=True, same shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = textops.decontaminate(train, probe, shingle_n=3, min_overlap=2)
+    return out.select("doc_id", "probe_id", "n_shared")
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's endpoint: the corpus with every near-dup
     component reduced to its min-id keeper (graph.dedup_by_pairs —
@@ -668,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verify": q_jaccard_verify,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
+        "sample_pack": q_sample_pack,
+        "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -889,6 +916,38 @@ def oracle_sql() -> dict[str, str]:
             "HAVING node <> min(r)) "
             "SELECT vec_id, label FROM embeddings "
             "WHERE vec_id NOT IN (SELECT node FROM losers)"
+        ),
+        "sample_pack": (
+            # identical Knuth-hash arithmetic as textops.det_hash01
+            "WITH s AS (SELECT *, "
+            "(((doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0 AS h "
+            "FROM documents), "
+            "f AS (SELECT * FROM s WHERE h < 0.5), "
+            "q AS (SELECT *, row_number() OVER (PARTITION BY source "
+            "ORDER BY h ASC, doc_id ASC) AS qr FROM f), "
+            "kept AS (SELECT doc_id, source, "
+            "len(regexp_split_to_array(trim(text), ' +')) AS n_tokens "
+            "FROM q WHERE qr <= 8), "
+            "packed AS (SELECT doc_id, source, n_tokens, "
+            "CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) / 2000.0) AS BIGINT) AS bin_id FROM kept) "
+            "SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, "
+            "bin_id FROM packed"
+        ),
+        "decontam": (
+            "WITH g AS (SELECT doc_id, "
+            "list_distinct(list_transform("
+            "range(1, greatest(len(regexp_split_to_array(trim(text), ' +'))-2,1)+1), "
+            "i -> array_to_string(regexp_split_to_array(trim(text), ' +')[i:i+2], ' ')"
+            ")) AS gs FROM documents), "
+            "t AS (SELECT doc_id, unnest(gs) AS gram FROM g "
+            "WHERE doc_id % 97 <> 0), "
+            "p AS (SELECT doc_id AS probe_id, unnest(gs) AS gram FROM g "
+            "WHERE doc_id % 97 = 0), "
+            "j AS (SELECT t.doc_id, p.probe_id, count(*) AS n_shared "
+            "FROM t JOIN p USING (gram) GROUP BY 1, 2) "
+            "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
         ),
         "bm25_search": (
             f"WITH q(query_id, term) AS (VALUES {_bm25_values}), "

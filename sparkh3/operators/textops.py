@@ -515,3 +515,120 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "score")
     )
+
+
+# Knuth multiplicative hash: deterministic, seedable, and expressible in
+# portable SQL arithmetic (so sampling decisions are oracle-checkable,
+# unlike engine-specific xxhash64)
+_KNUTH = 2654435761
+
+
+def det_hash01(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform-ish [0,1) from an integer key — pure int64
+    arithmetic, identical in any SQL engine."""
+    return (
+        F.pmod((key + F.lit(seed)) * F.lit(_KNUTH), F.lit(1 << 32))
+        / F.lit(float(1 << 32))
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic fraction sample keyed on the id — the reproducible
+    at-scale sampling primitive (same rows on every run/cluster, no RNG
+    state, pushes down as a plain filter)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(det_hash01(F.col(id_col), seed) < F.lit(fraction))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """At most `cap` rows per group, chosen by deterministic hash order
+    (ties by id) — the per-domain/source quota every web-scale corpus
+    applies. One window per group partition; no global sort."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        det_hash01(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= cap)
+        .drop("_qr")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to ~token_budget-sized training bins: within each
+    `part_col` partition, docs in id order accumulate until the budget
+    rolls over (bin = floor(exclusive-prefix-sum / budget) — a doc may
+    straddle a boundary; bins are contiguous and deterministic).
+
+    100 TB shape: ONE window per partition key — packing parallelizes
+    over sources/shards instead of a global sort, which is also what a
+    trainer wants (bins never mix sources across shard boundaries)."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("_n_tok").over(w), F.lit(0))
+    return (
+        df.withColumn("_n_tok", n_tok)
+        .withColumn(
+            "bin_id", F.floor(prefix / F.lit(token_budget)).cast("long")
+        )
+        .withColumnRenamed("_n_tok", "n_tokens")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    probe: DataFrame,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >=
+    `min_overlap` distinct word-`shingle_n`-grams with any probe
+    (benchmark/eval) document. Returns (id_col, probe_id, n_shared).
+
+    `hash_shingles=True` is the at-scale form (xxhash64 shingles — only
+    int64 keys shuffle; ~1e-9 collision noise); False keeps raw shingle
+    strings for exact cross-engine parity. The probe side is tiny by
+    definition and broadcasts."""
+    def grams(d: DataFrame, out_id: str) -> DataFrame:
+        g = d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(ngrams(F.col(text_col), shingle_n)).alias("_g"),
+        ).distinct()
+        if hash_shingles:
+            g = g.select(out_id, F.xxhash64("_g").alias("_g"))
+        return g
+
+    t = grams(train, id_col)
+    p = grams(probe, "probe_id")
+    return (
+        t.join(F.broadcast(p), "_g")
+        .groupBy(id_col, "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

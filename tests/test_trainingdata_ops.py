@@ -227,3 +227,96 @@ class TestMultimodal:
     def test_decode_stub_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"xx")
+
+
+class TestSamplePackDecontam:
+    """Round-3 corpus-shaping ops: deterministic sampling, quota,
+    packing, decontamination."""
+
+    def test_hash_sample_deterministic_and_bounded(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(1000)], "doc_id long, text string"
+        )
+        from sparkh3.operators import textops
+
+        a = {r.doc_id for r in textops.hash_sample(docs, 0.3, seed=1).collect()}
+        b = {r.doc_id for r in textops.hash_sample(docs, 0.3, seed=1).collect()}
+        assert a == b
+        assert 0.2 < len(a) / 1000 < 0.4
+        c = {r.doc_id for r in textops.hash_sample(docs, 0.3, seed=2).collect()}
+        assert c != a
+        # nested fractions: a 0.1 sample is a subset of the 0.3 sample
+        d = {r.doc_id for r in textops.hash_sample(docs, 0.1, seed=1).collect()}
+        assert d <= a
+        with pytest.raises(ValueError):
+            textops.hash_sample(docs, 1.5)
+
+    def test_quota_sample_caps_groups(self, spark):
+        from sparkh3.operators import textops
+
+        docs = spark.createDataFrame(
+            [(i, f"g{i % 3}", "x") for i in range(90)],
+            "doc_id long, source string, text string",
+        )
+        out = textops.quota_sample(docs, "source", cap=5)
+        per = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per == {"g0": 5, "g1": 5, "g2": 5}
+        # deterministic: same rows every run
+        again = textops.quota_sample(docs, "source", cap=5)
+        assert {r.doc_id for r in out.collect()} == {
+            r.doc_id for r in again.collect()
+        }
+        with pytest.raises(ValueError):
+            textops.quota_sample(docs, "source", cap=0)
+
+    def test_pack_sequences_bins(self, spark):
+        from sparkh3.operators import textops
+
+        docs = spark.createDataFrame(
+            [(i, "s", "w " * 10) for i in range(10)],
+            "doc_id long, source string, text string",
+        )
+        out = textops.pack_sequences(docs, token_budget=25).collect()
+        by_id = {r.doc_id: r for r in sorted(out, key=lambda r: r.doc_id)}
+        # each doc = 10 tokens; exclusive prefix sums 0,10,20,30,... ->
+        # bins 0,0,0,1,1,2,2,2,3,3 (doc straddling 25 stays in bin 0)
+        assert [by_id[i].bin_id for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+        assert all(by_id[i].n_tokens == 10 for i in range(10))
+        # partition isolation: second source restarts at bin 0
+        docs2 = docs.union(
+            spark.createDataFrame(
+                [(100, "t", "w " * 10)], "doc_id long, source string, text string"
+            )
+        )
+        out2 = {r.doc_id: r.bin_id for r in textops.pack_sequences(docs2, 25).collect()}
+        assert out2[100] == 0
+
+    def test_decontaminate_string_and_hash_agree(self, spark):
+        from sparkh3.operators import textops
+
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "totally unrelated content goes here now friend"),
+             (3, "quick brown fox jumps high")],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        flagged = {
+            (r.doc_id, r.probe_id, r.n_shared)
+            for r in textops.decontaminate(train, probe, min_overlap=2).collect()
+        }
+        # doc1 shares trigrams {'the quick brown','quick brown fox','brown fox jumps'};
+        # doc3 shares {'quick brown fox','brown fox jumps'}; doc2 none
+        assert flagged == {(1, 100, 3), (3, 100, 2)}
+        hashed = {
+            (r.doc_id, r.probe_id, r.n_shared)
+            for r in textops.decontaminate(
+                train, probe, min_overlap=2, hash_shingles=True
+            ).collect()
+        }
+        assert hashed == flagged
