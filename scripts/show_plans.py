@@ -89,6 +89,34 @@ def main() -> None:
     ap = ann._jdf.queryExecution().executedPlan().toString()
     print("== lsh ann: one-pass signatures ==")
     print("  corpus parquet scans:", ap.count("Scan parquet"))
+
+    qr = spark.createDataFrame([(0, 40.75, -73.99)], ["query_id", "lat", "lng"])
+    pr = spark.createDataFrame(
+        [(0, 40.76, -73.98)], ["point_id", "lat", "lng"]
+    )
+    rj = joins.radius_join(qr, pr, radius_km=10.0)
+    rp = rj._jdf.queryExecution().executedPlan().toString()
+    print("== radius_join: broadcast disks, no point-side shuffle ==")
+    print("  BroadcastHashJoin:", "BroadcastHashJoin" in rp)
+    print("  point-side Exchange (shuffle):", "Exchange hashpartitioning" in rp)
+
+    bq = spark.createDataFrame([(0, "hash"), (0, "join")], ["query_id", "term"])
+    bm = textops.bm25_topk(docs, bq, k=5)
+    bm.collect()  # AQE finalizes exchange reuse at runtime
+    bp = bm._jdf.queryExecution().executedPlan().toString()
+    print("== bm25: one tokenize pass (exchange reuse under AQE) ==")
+    print("  ReusedExchange nodes:", bp.count("ReusedExchange"))
+
+    from sparkh3.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    cc = connected_components(pairs)
+    cp = cc._jdf.queryExecution().executedPlan().toString()
+    print("== connected components: id-only edges, truncated lineage ==")
+    print("  result reads from checkpoint (no pair recompute):",
+          "Scan ExistingRDD" in cp or "LocalTableScan" in cp)
     spark.stop()
 
 
