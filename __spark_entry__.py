@@ -594,6 +594,22 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of the quality score per lang
+    (F.percentile — Spark's exact path, not approx_percentile) vs
+    DuckDB quantile_cont. The at-scale note: exact percentile is a
+    per-group sort; approx_percentile (t-digest sketch, one pass,
+    mergeable) is the 100 TB default and is property-tested against
+    this exact path in pytest instead of oracled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textops.quality_score(docs)
+    return q.groupBy("lang").agg(
+        F.round(F.percentile("quality", 0.5), 6).alias("p50"),
+        F.round(F.percentile("quality", 0.9), 6).alias("p90"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's endpoint: the corpus with every near-dup
     component reduced to its min-id keeper (graph.dedup_by_pairs —
@@ -694,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "sample_pack": q_sample_pack,
+        "quality_percentiles": q_quality_percentiles,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
@@ -934,6 +951,16 @@ def oracle_sql() -> dict[str, str]:
             "PRECEDING), 0) / 2000.0) AS BIGINT) AS bin_id FROM kept) "
             "SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, "
             "bin_id FROM packed"
+        ),
+        "quality_percentiles": (
+            "WITH t AS (SELECT lang, "
+            "round(least(len(regexp_split_to_array(trim(text), ' +')) / 50.0, 1.0) * "
+            "(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) / "
+            "cast(len(regexp_split_to_array(trim(text), ' +')) as double)), 6) "
+            "AS quality FROM documents) "
+            "SELECT lang, round(quantile_cont(quality, 0.5), 6) AS p50, "
+            "round(quantile_cont(quality, 0.9), 6) AS p90, "
+            "count(*) AS n_docs FROM t GROUP BY 1"
         ),
         "decontam": (
             "WITH g AS (SELECT doc_id, "

@@ -320,3 +320,18 @@ class TestSamplePackDecontam:
             ).collect()
         }
         assert hashed == flagged
+
+    def test_approx_percentile_tracks_exact(self, spark):
+        """The 100 TB percentile path (approx_percentile, one-pass
+        mergeable sketch) stays within tight error of the exact sort
+        path oracled by quality_percentiles."""
+        import random
+
+        random.seed(4)
+        rows = [(i, random.random()) for i in range(5000)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = df.agg(
+            F.percentile("v", 0.5).alias("exact"),
+            F.percentile_approx("v", 0.5, 10000).alias("approx"),
+        ).collect()[0]
+        assert abs(got["exact"] - got["approx"]) < 0.01
