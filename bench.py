@@ -197,7 +197,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
         ["query_id", "lat", "lng"],
     )
     knn = joins.knn_join(queries, dpts, k=10, resolution=5)
-    n_docs = dpts.count()
+    # row accounting from parquet metadata — dpts.count() would rerun
+    # the whole span-extraction UDF pass just to count rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     knn.count()
     timings["q4_knn"] = round(time.time() - t0, 3)
     rows_total += n_docs

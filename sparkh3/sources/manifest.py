@@ -89,24 +89,32 @@ def write_table(
     h3_col: str,
     mode: str = "overwrite",
     key_is_int: bool = False,
+    bucket_bits: int = BUCKET_BITS,
+    data_subdir: str = "data",
 ) -> dict:
     """Write a cell-keyed table with snapshot manifest. `h3_col` is a
     15-hex-char H3 string column by default; ``key_is_int=True`` takes
     an int64 key column as-is (e.g. an S2 cell id) and buckets on its
     top bits (the spatial prefix in both the S2 and any
-    Hilbert/Z-ordered layout). Rows are clustered by key either way."""
+    Hilbert/Z-ordered layout). Rows are clustered by key either way.
+    ``bucket_bits`` sets the partition-column width (file count scales
+    with 2^bits — compaction rewrites with fewer bits); ``data_subdir``
+    lets maintenance write a NEW data generation next to the one it is
+    reading (a snapshot commit must never overwrite its own input)."""
     root_p = Path(root)
     (root_p / "metadata").mkdir(parents=True, exist_ok=True)
-    data_dir = root_p / "data"
+    data_dir = root_p / data_subdir
     if key_is_int:
         out = df.withColumn("_h3_int", F.col(h3_col).cast("long"))
         bucket = F.shiftrightunsigned(
-            F.col("_h3_int"), 64 - BUCKET_BITS
+            F.col("_h3_int"), 64 - bucket_bits
         )
         out = out.withColumn("_h3_bucket", bucket)
     else:
         out = df.withColumn("_h3_int", H3F.h3_str_to_int(h3_col))
-        out = out.withColumn("_h3_bucket", _bucket_col(F.col("_h3_int")))
+        out = out.withColumn(
+            "_h3_bucket", H3F.h3_prefix_bucket(F.col("_h3_int"), bucket_bits)
+        )
     # cluster: partition by bucket, sort within partitions by cell int
     out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
     writer = out.write.partitionBy("_h3_bucket").mode(
@@ -149,7 +157,7 @@ def write_table(
         "ts": time.time(),
         "h3_col": h3_col,
         "key_kind": "int" if key_is_int else "h3_str",
-        "bucket_bits": BUCKET_BITS,
+        "bucket_bits": bucket_bits,
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
     }
@@ -254,3 +262,87 @@ def pruned_file_count(
         )
     )
     return kept, len(snap["files"])
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Table maintenance: rewrite the CURRENT snapshot's rows into
+    fewer, larger files (Iceberg rewrite_data_files semantics) and
+    commit the result as a new snapshot.
+
+    The bucket width shrinks to roughly total_bytes / target files
+    (file count tracks 2^bits), the rewrite lands in a NEW data
+    generation directory (`data_v<N>`) so readers of the old snapshot
+    are never disturbed, and clustering/pruning behavior is preserved —
+    only the file granularity changes. Old generations are reclaimed by
+    `expire_snapshots`."""
+    import math
+
+    snap = load_snapshot(root)
+    root_p = Path(root)
+    total_bytes = sum(
+        (root_p / f["path"]).stat().st_size for f in snap["files"]
+    )
+    bits = max(
+        0,
+        min(
+            BUCKET_BITS,
+            math.ceil(math.log2(max(1.0, total_bytes / target_file_bytes))),
+        ),
+    )
+    df = read_table(spark, root).drop("_h3_int", "_h3_bucket")
+    new = write_table(
+        df,
+        root,
+        snap["h3_col"],
+        key_is_int=snap.get("key_kind") == "int",
+        bucket_bits=bits,
+        data_subdir=f"data_v{snap['version'] + 1}",
+    )
+    new["compacted_from"] = snap["version"]
+    (root_p / "metadata" / f"v{new['version']}.json").write_text(
+        json.dumps(new)
+    )
+    return new
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Table maintenance: drop all but the newest `keep_last` snapshots
+    and delete every data file no kept snapshot references (Iceberg
+    expire_snapshots + orphan-file cleanup). Returns counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root_p = Path(root)
+    meta = root_p / "metadata"
+    versions = sorted(
+        int(p.stem[1:]) for p in meta.glob("v*.json")
+    )
+    keep = set(versions[-keep_last:])
+    referenced: set = set()
+    for v in keep:
+        snap = json.loads((meta / f"v{v}.json").read_text())
+        referenced.update(f["path"] for f in snap["files"])
+    removed_files = 0
+    for p in root_p.rglob("*.parquet"):
+        if str(p.relative_to(root_p)) not in referenced:
+            p.unlink()
+            removed_files += 1
+    # prune now-empty data directories
+    for d in sorted(
+        (d for d in root_p.rglob("*") if d.is_dir()), reverse=True
+    ):
+        if d != meta and not any(d.iterdir()):
+            d.rmdir()
+    removed_snaps = 0
+    for v in versions:
+        if v not in keep:
+            (meta / f"v{v}.json").unlink()
+            removed_snaps += 1
+    return {
+        "kept_snapshots": sorted(keep),
+        "removed_snapshots": removed_snaps,
+        "removed_files": removed_files,
+    }

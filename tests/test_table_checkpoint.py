@@ -211,3 +211,51 @@ class TestS2IntKeyedTable:
         for a, b in zip(rlo, rhi):
             mask |= (keys >= a) & (keys <= b)
         assert got.count() == int(mask.sum()) > 0
+
+
+class TestTableMaintenance:
+    def test_compact_then_expire(self, spark, h3_docs, tmp_path):
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "mnt")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        n_files1 = len(snap1["files"])
+        assert n_files1 > 4  # default bucket width scatters a small table
+
+        snap2 = manifest.compact_table(spark, root, target_file_bytes=1 << 30)
+        assert snap2["version"] == snap1["version"] + 1
+        assert snap2["compacted_from"] == snap1["version"]
+        assert len(snap2["files"]) < n_files1
+        assert snap2["total_rows"] == snap1["total_rows"]
+        # current snapshot reads identically; old version still readable
+        cur = manifest.read_table(spark, root)
+        assert cur.count() == snap1["total_rows"]
+        old = manifest.read_table(spark, root, version=snap1["version"])
+        assert old.count() == snap1["total_rows"]
+        # pruning still exact after compaction
+        one = h3_docs.filter(
+            (F.abs(F.col("lat") - 40.75) < 3) & (F.abs(F.col("lng") + 73.99) < 3)
+        ).first()
+        import numpy as np
+
+        from sparkh3.kernel import index as ix
+
+        anc = ix.int_to_str(ix.cell_to_parent(ix.str_to_int([one.h3_07]), 3))[0]
+        got = manifest.read_table(spark, root, cells=[anc]).count()
+        want = manifest.read_table(spark, root).filter(
+            F.col("_h3_int").between(
+                *manifest.cell_descendant_range(int(anc, 16), 7)
+            )
+        ).count()
+        assert got == want > 0
+
+        res = manifest.expire_snapshots(root, keep_last=1)
+        assert res["removed_snapshots"] == 1 and res["removed_files"] == n_files1
+        # the old generation is gone, the live one unharmed
+        assert manifest.read_table(spark, root).count() == snap1["total_rows"]
+        with pytest.raises(FileNotFoundError):
+            manifest.load_snapshot(root, version=snap1["version"])
+
+    def test_expire_validates(self, tmp_path):
+        with pytest.raises(ValueError):
+            manifest.expire_snapshots(str(tmp_path), keep_last=0)
