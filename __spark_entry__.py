@@ -937,7 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_pack": (
             # identical Knuth-hash arithmetic as textops.det_hash01
             "WITH s AS (SELECT *, "
-            "(((doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0 AS h "
+            "((((doc_id + 7) % 2147483648) * 2654435761) % 4294967296) / 4294967296.0 AS h "
             "FROM documents), "
             "f AS (SELECT * FROM s WHERE h < 0.5), "
             "q AS (SELECT *, row_number() OVER (PARTITION BY source "

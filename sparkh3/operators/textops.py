@@ -525,9 +525,12 @@ _KNUTH = 2654435761
 
 def det_hash01(key: Column, seed: int = 0) -> Column:
     """Deterministic uniform-ish [0,1) from an integer key — pure int64
-    arithmetic, identical in any SQL engine."""
+    arithmetic, identical in any SQL engine. The key folds mod 2^31
+    BEFORE the multiply so the product stays under 2^63 (no ANSI/DuckDB
+    overflow at arbitrarily large ids)."""
+    folded = F.pmod(key + F.lit(seed), F.lit(1 << 31))
     return (
-        F.pmod((key + F.lit(seed)) * F.lit(_KNUTH), F.lit(1 << 32))
+        F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32))
         / F.lit(float(1 << 32))
     )
 
@@ -619,10 +622,14 @@ def decontaminate(
         g = d.select(
             F.col(id_col).alias(out_id),
             F.explode(ngrams(F.col(text_col), shingle_n)).alias("_g"),
-        ).distinct()
+        )
         if hash_shingles:
+            # hash BEFORE the distinct so the dedup shuffle carries
+            # (id, int64) rather than raw shingle strings — the whole
+            # point of the flag; post-hash distinct also keeps colliding
+            # grams from double-counting n_shared
             g = g.select(out_id, F.xxhash64("_g").alias("_g"))
-        return g
+        return g.distinct()
 
     t = grams(train, id_col)
     p = grams(probe, "probe_id")

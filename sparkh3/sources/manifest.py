@@ -38,10 +38,6 @@ from ..kernel import index as ix
 BUCKET_BITS = 10
 
 
-def _bucket_col(h3_int: F.Column) -> F.Column:
-    return H3F.h3_prefix_bucket(h3_int, BUCKET_BITS)
-
-
 def _signed_ranges(ranges) -> list[tuple[int, int]]:
     """Normalize [lo, hi] uint64 key ranges (e.g. S2 merge_ranges
     output) to signed-int64 ranges safe for parquet-stat pruning and
@@ -103,12 +99,28 @@ def write_table(
     reading (a snapshot commit must never overwrite its own input)."""
     root_p = Path(root)
     (root_p / "metadata").mkdir(parents=True, exist_ok=True)
+    if mode != "overwrite" and data_subdir == "data":
+        # append must land in (and restat) the CURRENT generation —
+        # after a compaction the live data may be in data_v<N>, and
+        # appending into a stale default dir would commit a snapshot
+        # missing every compacted row
+        cur = root_p / "metadata" / "current"
+        if cur.exists():
+            snapcur = load_snapshot(root)
+            if snapcur["files"]:
+                data_subdir = Path(snapcur["files"][0]["path"]).parts[0]
     data_dir = root_p / data_subdir
     if key_is_int:
         out = df.withColumn("_h3_int", F.col(h3_col).cast("long"))
-        bucket = F.shiftrightunsigned(
-            F.col("_h3_int"), 64 - bucket_bits
-        )
+        if bucket_bits == 0:
+            # shift-by-64 is a no-op under Java shift semantics (masked
+            # mod 64) — it would bucket on the FULL key, one file per
+            # distinct cell
+            bucket = F.lit(0)
+        else:
+            bucket = F.shiftrightunsigned(
+                F.col("_h3_int"), 64 - bucket_bits
+            )
         out = out.withColumn("_h3_bucket", bucket)
     else:
         out = df.withColumn("_h3_int", H3F.h3_str_to_int(h3_col))
@@ -303,9 +315,13 @@ def compact_table(
         data_subdir=f"data_v{snap['version'] + 1}",
     )
     new["compacted_from"] = snap["version"]
-    (root_p / "metadata" / f"v{new['version']}.json").write_text(
-        json.dumps(new)
-    )
+    # same tmp+rename discipline as the original commit — `current`
+    # already points at this version, so an in-place rewrite could leave
+    # the live snapshot truncated on a crash
+    target = root_p / "metadata" / f"v{new['version']}.json"
+    tmp = root_p / "metadata" / f"v{new['version']}.json.tmp"
+    tmp.write_text(json.dumps(new))
+    os.replace(tmp, target)
     return new
 
 
@@ -320,22 +336,30 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     versions = sorted(
         int(p.stem[1:]) for p in meta.glob("v*.json")
     )
+    if not versions:
+        # an empty keep-set would classify EVERY file as orphaned — a
+        # typo'd root must never be vacuumed
+        raise FileNotFoundError(f"no snapshots under {meta}")
     keep = set(versions[-keep_last:])
     referenced: set = set()
     for v in keep:
         snap = json.loads((meta / f"v{v}.json").read_text())
         referenced.update(f["path"] for f in snap["files"])
     removed_files = 0
-    for p in root_p.rglob("*.parquet"):
+    # whole generation directories no kept snapshot touches go wholesale
+    # (including Spark's _SUCCESS/.crc sidecars); referenced generations
+    # get per-file orphan cleanup only
+    import shutil
+
+    ref_tops = {Path(p).parts[0] for p in referenced}
+    for d in list(root_p.iterdir()):
+        if d.is_dir() and d.name != "metadata" and d.name not in ref_tops:
+            removed_files += sum(1 for _ in d.rglob("*.parquet"))
+            shutil.rmtree(d)
+    for p in list(root_p.rglob("*.parquet")):
         if str(p.relative_to(root_p)) not in referenced:
             p.unlink()
             removed_files += 1
-    # prune now-empty data directories
-    for d in sorted(
-        (d for d in root_p.rglob("*") if d.is_dir()), reverse=True
-    ):
-        if d != meta and not any(d.iterdir()):
-            d.rmdir()
     removed_snaps = 0
     for v in versions:
         if v not in keep:

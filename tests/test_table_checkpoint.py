@@ -259,3 +259,44 @@ class TestTableMaintenance:
     def test_expire_validates(self, tmp_path):
         with pytest.raises(ValueError):
             manifest.expire_snapshots(str(tmp_path), keep_last=0)
+
+    def test_compact_int_keyed_small_table(self, spark, tmp_path):
+        """bits=0 compaction on an int-keyed (S2) table must NOT bucket
+        on the full key (shift-by-64 is a Java no-op) — a small table
+        compacts to a handful of files, not one per distinct cell."""
+        import numpy as np
+
+        from sparkh3.kernel import s2 as s2k
+
+        rng = np.random.default_rng(5)
+        cells = s2k.latlng_to_cell(
+            rng.uniform(-60, 60, 300), rng.uniform(-170, 170, 300), 14
+        ).view(np.int64)
+        df = spark.createDataFrame(
+            [(int(i), int(c)) for i, c in enumerate(cells)],
+            "row_id long, s2_14 long",
+        )
+        root = str(tmp_path / "s2mnt")
+        snap1 = manifest.write_table(df, root, "s2_14", key_is_int=True)
+        snap2 = manifest.compact_table(spark, root, target_file_bytes=1 << 30)
+        assert len(snap2["files"]) <= 2
+        assert snap2["total_rows"] == snap1["total_rows"] == 300
+
+    def test_append_lands_in_live_generation(self, spark, h3_docs, tmp_path):
+        """After compact+expire, an append must commit into the live
+        generation and keep every compacted row."""
+        root = str(tmp_path / "appmnt")
+        manifest.write_table(h3_docs, root, "h3_07")
+        base_rows = manifest.load_snapshot(root)["total_rows"]
+        manifest.compact_table(spark, root, target_file_bytes=1 << 30)
+        manifest.expire_snapshots(root, keep_last=1)
+        extra = h3_docs.limit(5)
+        snap = manifest.write_table(extra, root, "h3_07", mode="append")
+        assert snap["total_rows"] == base_rows + 5
+        assert manifest.read_table(spark, root).count() == base_rows + 5
+
+    def test_expire_refuses_nontable_root(self, tmp_path):
+        (tmp_path / "stray.parquet").write_bytes(b"not really parquet")
+        with pytest.raises(FileNotFoundError):
+            manifest.expire_snapshots(str(tmp_path))
+        assert (tmp_path / "stray.parquet").exists()
