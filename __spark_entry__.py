@@ -24,7 +24,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from sparkh3 import dataframe as dfo  # noqa: E402
 from sparkh3 import datagen  # noqa: E402
 from sparkh3 import functions as H3F  # noqa: E402
-from sparkh3.operators import joins, similarity, spans, textops  # noqa: E402
+from sparkh3.operators import (  # noqa: E402
+    joins,
+    similarity,
+    spans,
+    temporal,
+    textops,
+)
 from sparkh3.operators.graph import (  # noqa: E402
     connected_components,
     dedup_by_pairs,
@@ -594,6 +600,44 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every click event picks up
+    the most recent view at-or-before it for the same user — one
+    union + carry-forward window, a single exchange on the key. Oracle:
+    DuckDB's NATIVE ASOF JOIN."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = temporal.asof_join(
+        clicks, views, on="user_id", value_cols=["view_id", "view_value"]
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "view_id",
+        F.round("view_value", 4).alias("view_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) with integer-microsecond
+    arithmetic — bit-exact session boundaries vs the SQL window twin."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = temporal.sessionize(ev, gap_seconds=1800, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+    )
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per lang
     (F.percentile — Spark's exact path, not approx_percentile) vs
@@ -711,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "sample_pack": q_sample_pack,
         "quality_percentiles": q_quality_percentiles,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
@@ -951,6 +997,28 @@ def oracle_sql() -> dict[str, str]:
             "PRECEDING), 0) / 2000.0) AS BIGINT) AS bin_id FROM kept) "
             "SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, "
             "bin_id FROM packed"
+        ),
+        "asof_join": (
+            "WITH c AS (SELECT event_id AS click_id, user_id, ts "
+            "FROM events WHERE event_type = 'click'), "
+            "v AS (SELECT user_id, ts, event_id AS view_id, "
+            "value AS view_value FROM events WHERE event_type = 'view') "
+            "SELECT c.click_id, c.user_id, v.view_id, "
+            "round(v.view_value, 4) AS view_value "
+            "FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us "
+            "FROM events), "
+            "l AS (SELECT *, CASE WHEN lag(us) OVER "
+            "(PARTITION BY user_id ORDER BY us, event_id) IS NULL "
+            "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) "
+            "> 1800000000 THEN 1 ELSE 0 END AS nw FROM e), "
+            "s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS session_seq FROM l) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "min(us) AS start_us, max(us) AS end_us FROM s GROUP BY 1, 2"
         ),
         "quality_percentiles": (
             "WITH t AS (SELECT lang, "

@@ -1,0 +1,76 @@
+"""As-of join and sessionization (operators/temporal.py) vs brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkh3.operators import temporal
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+class TestAsofJoin:
+    def _data(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, _ts(10)), (2, 1, _ts(30)), (3, 2, _ts(5)), (4, 3, _ts(50))],
+            "lid long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(101, 1, _ts(10), 1.0), (102, 1, _ts(20), 2.0),
+             (103, 2, _ts(7), 3.0), (104, 9, _ts(1), 4.0)],
+            "rid long, k long, ts timestamp, v double",
+        )
+        return left, right
+
+    def test_inner_with_tie(self, spark):
+        left, right = self._data(spark)
+        out = {
+            r.lid: (r.rid, r.v)
+            for r in temporal.asof_join(
+                left, right, on="k", value_cols=["rid", "v"]
+            ).collect()
+        }
+        # lid1 ties ts(10) -> rid101; lid2 -> latest <= ts(30) = rid102;
+        # lid3 (k=2, ts5) has no prior view -> dropped; lid4 key absent
+        assert out == {1: (101, 1.0), 2: (102, 2.0)}
+
+    def test_left_keeps_unmatched(self, spark):
+        left, right = self._data(spark)
+        out = {
+            r.lid: r.rid
+            for r in temporal.asof_join(
+                left, right, on="k", value_cols=["rid", "v"], how="left"
+            ).collect()
+        }
+        assert out == {1: 101, 2: 102, 3: None, 4: None}
+
+    def test_validation(self, spark):
+        left, right = self._data(spark)
+        with pytest.raises(ValueError, match="how"):
+            temporal.asof_join(left, right, on="k", how="outer")
+        with pytest.raises(ValueError, match="collide"):
+            temporal.asof_join(
+                left, right.withColumnRenamed("rid", "lid"), on="k"
+            )
+
+
+class TestSessionize:
+    def test_gaps_and_sequence(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 1, _ts(0)), (2, 1, _ts(10)), (3, 1, _ts(60)),
+             (4, 1, _ts(65)), (5, 2, _ts(0))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        out = temporal.sessionize(
+            ev, gap_seconds=1800, order_tiebreak="event_id"
+        )
+        seqs = {r.event_id: r.session_seq for r in out.collect()}
+        # user 1: events at 0,10 (session 1), 60,65 (gap 50min -> session 2)
+        assert seqs == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+        with pytest.raises(ValueError):
+            temporal.sessionize(ev, gap_seconds=0)
