@@ -638,6 +638,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as flat (label, pos, mean) rows —
+    native posexplode + two-phase avg (similarity.embedding_centroids);
+    oracle: DuckDB unnest WITH ORDINALITY."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_centroids(emb)
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per lang
     (F.percentile — Spark's exact path, not approx_percentile) vs
@@ -755,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "sample_pack": q_sample_pack,
         "quality_percentiles": q_quality_percentiles,
+        "embed_centroids": q_embed_centroids,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "decontam": q_decontam,
@@ -997,6 +1006,14 @@ def oracle_sql() -> dict[str, str]:
             "PRECEDING), 0) / 2000.0) AS BIGINT) AS bin_id FROM kept) "
             "SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, "
             "bin_id FROM packed"
+        ),
+        "embed_centroids": (
+            # parallel unnests zip in DuckDB (no WITH ORDINALITY in 1.0)
+            "WITH u AS (SELECT label, "
+            "unnest(range(0, len(embedding))) AS pos, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) "
+            "SELECT label, CAST(pos AS INT) AS pos, "
+            "round(avg(x), 6) AS mean_x FROM u GROUP BY 1, 2"
         ),
         "asof_join": (
             "WITH c AS (SELECT event_id AS click_id, user_id, ts "

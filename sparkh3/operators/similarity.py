@@ -365,3 +365,24 @@ def lsh_cosine_topk(
         "sim",
         "rank",
     )
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label centroid components as flat (label, pos, mean_x) rows:
+    posexplode -> two-phase avg. Flat output keeps the whole computation
+    inside native partial aggregation (and makes it exactly
+    SQL-oracle-able); callers wanting array form collect_list over pos.
+    At scale this is the centroid step of k-means / class prototypes."""
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), decimals).alias("mean_x"))
+    )
