@@ -300,3 +300,25 @@ class TestTableMaintenance:
         with pytest.raises(FileNotFoundError):
             manifest.expire_snapshots(str(tmp_path))
         assert (tmp_path / "stray.parquet").exists()
+
+
+class TestRangePruningFuzz:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_signed_ranges_membership_equivalence(self, seed):
+        """_signed_ranges must preserve uint64 BETWEEN semantics exactly
+        under the int64 reinterpretation, for random ranges straddling
+        (or not) the sign boundary."""
+        import numpy as np
+
+        from sparkh3.sources import manifest
+
+        rng = np.random.default_rng(seed)
+        keys = rng.integers(0, 1 << 64, 2000, dtype=np.uint64)
+        skeys = keys.view(np.int64)
+        for _ in range(30):
+            a, b = sorted(rng.integers(0, 1 << 64, 2, dtype=np.uint64).tolist())
+            want = (keys >= a) & (keys <= b)
+            got = np.zeros(len(keys), dtype=bool)
+            for lo, hi in manifest._signed_ranges([(a, b)]):
+                got |= (skeys >= lo) & (skeys <= hi)
+            assert (got == want).all()

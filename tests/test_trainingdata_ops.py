@@ -335,3 +335,40 @@ class TestSamplePackDecontam:
             F.percentile_approx("v", 0.5, 10000).alias("approx"),
         ).collect()[0]
         assert abs(got["exact"] - got["approx"]) < 0.01
+
+    def test_ivf_recall_improves_with_probes(self, spark):
+        """IVF ANN: recall@k grows with n_probe and is exact at full
+        probe (the knob a 100 TB deployment tunes)."""
+        import numpy as np
+
+        from sparkh3.operators import similarity
+
+        rng = np.random.default_rng(2)
+        centers = rng.normal(size=(8, 16))
+        vecs = (centers[rng.integers(0, 8, 400)] +
+                rng.normal(scale=0.15, size=(400, 16))).astype(np.float32)
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in similarity.cosine_topk(emb, q, k=5).collect()
+        }
+
+        def recall(n_probe):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in similarity.ivf_cosine_topk(
+                    emb, q, k=5, n_lists=8, n_probe=n_probe
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r1, r4, r8 = recall(1), recall(4), recall(8)
+        assert r1 <= r4 + 1e-9 <= r8 + 2e-9
+        assert r8 == 1.0
+        assert r4 >= 0.5
