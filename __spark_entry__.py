@@ -600,6 +600,31 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_edge_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge bit algebra (mode-2 ids, kernel/traversal.py): build
+    synthetic edge ids by SQL arithmetic, extract origin + edge index
+    with the engine's native bit math (functions.edge_origin_int /
+    edge_direction_int), aggregate per direction. The oracle re-derives
+    both with independent integer arithmetic; edge GEOMETRY (adjacency,
+    destinations, boundaries) is property-gated in pytest (DuckDB has no
+    H3)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_li_edge")
+    synth = _synth_cell_sql("l_orderkey")
+    edges = spark.sql(
+        f"SELECT ({synth} + {1 << 59} + ((l_orderkey % 6) + 1) * {1 << 56}) "
+        "AS edge FROM _li_edge"
+    )
+    out = edges.select(
+        H3F.edge_origin_int(F.col("edge")).alias("origin"),
+        H3F.edge_direction_int(F.col("edge")).alias("dir"),
+    )
+    return out.groupBy("dir").agg(
+        F.count("*").alias("n_edges"),
+        F.count_distinct("origin").alias("n_origins"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every click event picks up
     the most recent view at-or-before it for the same user — one
@@ -765,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentiles": q_quality_percentiles,
         "embed_centroids": q_embed_centroids,
         "asof_join": q_asof_join,
+        "edge_ops": q_edge_ops,
         "sessionize": q_sessionize,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
@@ -1014,6 +1040,14 @@ def oracle_sql() -> dict[str, str]:
             "unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) "
             "SELECT label, CAST(pos AS INT) AS pos, "
             "round(avg(x), 6) AS mean_x FROM u GROUP BY 1, 2"
+        ),
+        "edge_ops": (
+            f"WITH e AS (SELECT ({synth} + {1 << 59} + "
+            f"((l_orderkey % 6) + 1) * {1 << 56}) AS edge FROM lineitem), "
+            f"x AS (SELECT ((edge & {~((0xF << 59) | (0x7 << 56))}) "
+            f"| {1 << 59}) AS origin, (edge >> 56) & 7 AS dir FROM e) "
+            "SELECT dir, count(*) AS n_edges, "
+            "count(DISTINCT origin) AS n_origins FROM x GROUP BY 1"
         ),
         "asof_join": (
             "WITH c AS (SELECT event_id AS click_id, user_id, ts "

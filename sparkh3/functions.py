@@ -546,3 +546,71 @@ def s2_token_udf():
         return out
 
     return f
+
+
+# ---------------------------------------------------------------------------
+# directed edges (mode-2 ids; kernel/traversal.py edge ops)
+# ---------------------------------------------------------------------------
+
+_EDGE_CLEAR_SQL = ~((0xF << 59) | (0x7 << 56))
+
+
+def edge_origin_int(v: Column) -> Column:
+    """Origin cell (int64, mode flipped back to 1) of a directed edge —
+    pure bit math; the join key for OD-flow rollups."""
+    return (
+        v.bitwiseAND(F.lit(_EDGE_CLEAR_SQL)).bitwiseOR(F.lit(1 << 59))
+    )
+
+
+def edge_direction_int(v: Column) -> Column:
+    """Edge index 1-6 (bits 56-58) — pure bit math."""
+    return F.shiftrightunsigned(
+        v.bitwiseAND(F.lit(0x7 << 56)), 56
+    )
+
+
+def cells_to_edge_udf():
+    """(origin int64, dest int64) -> directed-edge int64 (null when not
+    adjacent) — Arrow batch over the kernel's boundary-edge ordinal."""
+
+    @F.pandas_udf(LongType())
+    def f(origin: pd.Series, dest: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import traversal as tv
+
+        o = origin.to_numpy(dtype=np.int64).view(np.uint64)
+        d = dest.to_numpy(dtype=np.int64).view(np.uint64)
+        if len(o) == 0:
+            return pd.Series([], dtype="Int64")
+        nb = tv.neighbors_ordered(o)
+        k = np.argmax(nb == d[:, None], axis=1)
+        ok = nb[np.arange(len(o)), k] == d
+        edge = tv.cells_to_directed_edge(
+            o[ok], d[ok]
+        ) if ok.any() else np.array([], dtype=np.uint64)
+        out = np.zeros(len(o), dtype=np.int64)
+        out[ok] = edge.view(np.int64)
+        s = pd.Series(out).astype("Int64")
+        s[~ok] = pd.NA
+        return s
+
+    return f
+
+
+def edge_destination_udf():
+    """Directed-edge int64 -> destination cell int64."""
+
+    @F.pandas_udf(LongType())
+    def f(edge: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import traversal as tv
+
+        e = edge.to_numpy(dtype=np.int64).view(np.uint64)
+        if len(e) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(tv.edge_destination(e).view(np.int64))
+
+    return f

@@ -262,3 +262,126 @@ def grid_distance(a: int, b: int) -> int:
     distance (and inherits grid_path's cross-face frames where the
     reference implementation errors)."""
     return len(grid_path(a, b)) - 1
+
+
+def neighbors_ordered(cells: np.ndarray) -> np.ndarray:
+    """(N, 6) neighbor matrix in boundary-edge order (edge k runs from
+    boundary vertex k to k+1). 0 marks a missing edge (pentangle slots
+    and probe-degenerate duplicates). `cells` must be uniform res."""
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    n = len(cells)
+    if n == 0:
+        return np.zeros((0, 6), dtype=np.uint64)
+    res = int(ix.get_resolution(cells[:1])[0])
+    verts = geo._boundary_verts_uniform(cells, res)
+    clat, clng = geo.cell_to_latlng(cells)
+    c3 = proj.geo_to_vec3(np.radians(clat), np.radians(clng))
+    v3 = proj.geo_to_vec3(verts[..., 0], verts[..., 1])
+    mid = 0.5 * (v3 + np.roll(v3, -1, axis=1))
+    probe = c3[:, None, :] + (mid - c3[:, None, :]) * (1.0 + _EDGE_EPS)
+    probe = probe / np.linalg.norm(probe, axis=-1, keepdims=True)
+    plat, plng = proj.vec3_to_geo(probe.reshape(-1, 3))
+    nb = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res).reshape(
+        n, 6
+    )
+    nb[nb == cells[:, None]] = np.uint64(0)
+    # a pentagon's degenerate vertex yields the same neighbor twice:
+    # keep the first occurrence per row only
+    for k in range(1, 6):
+        dup = (nb[:, k][:, None] == nb[:, :k]).any(axis=1)
+        nb[dup, k] = np.uint64(0)
+    return nb
+
+
+_EDGE_MODE_MASK = np.uint64(0xF) << np.uint64(59)
+_EDGE_IDX_MASK = np.uint64(0x7) << np.uint64(56)
+_EDGE_CLEAR = ~(_EDGE_MODE_MASK | _EDGE_IDX_MASK)
+_MODE_CELL = np.uint64(1) << np.uint64(59)
+_MODE_EDGE = np.uint64(2) << np.uint64(59)
+
+
+def cells_to_directed_edge(origin, dest) -> np.ndarray:
+    """Directed-edge ids for adjacent (origin, dest) pairs: the public
+    H3 edge-id LAYOUT (mode 2 in bits 59-62, edge index 1-6 in bits
+    56-58, cell bits elsewhere), with the edge index defined by this
+    kernel's boundary-edge ordinal (deterministic and self-consistent;
+    bit-identical layout to the H3 spec, numbering internal to this
+    engine — no h3 lib exists here to golden against). Raises on
+    non-adjacent pairs."""
+    origin = np.atleast_1d(np.asarray(origin, dtype=np.uint64))
+    dest = np.atleast_1d(np.asarray(dest, dtype=np.uint64))
+    nb = neighbors_ordered(origin)
+    k = np.argmax(nb == dest[:, None], axis=1).astype(np.uint64)
+    ok = nb[np.arange(len(origin)), k.astype(np.int64)] == dest
+    if not ok.all():
+        bad = origin[~ok][:1]
+        raise ValueError(f"cells not adjacent (origin {bad})")
+    return (origin & _EDGE_CLEAR) | _MODE_EDGE | (
+        (k + np.uint64(1)) << np.uint64(56)
+    )
+
+
+def edge_origin(edge) -> np.ndarray:
+    """Origin cell of directed edges (pure bit math)."""
+    edge = np.atleast_1d(np.asarray(edge, dtype=np.uint64))
+    return (edge & _EDGE_CLEAR) | _MODE_CELL
+
+
+def edge_direction(edge) -> np.ndarray:
+    """Edge index 1-6 (bits 56-58)."""
+    edge = np.atleast_1d(np.asarray(edge, dtype=np.uint64))
+    return (edge & _EDGE_IDX_MASK) >> np.uint64(56)
+
+
+def edge_destination(edge) -> np.ndarray:
+    """Destination cell of directed edges (origin's k-th neighbor)."""
+    edge = np.atleast_1d(np.asarray(edge, dtype=np.uint64))
+    org = edge_origin(edge)
+    k = edge_direction(edge).astype(np.int64) - 1
+    nb = neighbors_ordered(org)
+    out = nb[np.arange(len(org)), k]
+    if (out == 0).any():
+        raise ValueError("edge index points at a deleted pentagon slot")
+    return out
+
+
+def is_valid_directed_edge(edge) -> np.ndarray:
+    """Mode 2, index in 1..6, valid origin, existing neighbor slot."""
+    edge = np.atleast_1d(np.asarray(edge, dtype=np.uint64))
+    mode_ok = (edge & _EDGE_MODE_MASK) == _MODE_EDGE
+    k = edge_direction(edge)
+    k_ok = (k >= 1) & (k <= 6)
+    out = np.zeros(len(edge), dtype=bool)
+    cand = mode_ok & k_ok
+    if cand.any():
+        org = edge_origin(edge[cand])
+        org_ok = ix.is_valid_cell(org)
+        sub = np.zeros(int(cand.sum()), dtype=bool)
+        if org_ok.any():
+            nb = neighbors_ordered(org[org_ok])
+            kk = (k[cand][org_ok] - np.uint64(1)).astype(np.int64)
+            sub[org_ok] = nb[np.arange(len(kk)), kk] != 0
+        out[cand] = sub
+    return out
+
+
+def origin_to_directed_edges(cell) -> np.ndarray:
+    """All directed edges leaving a cell (6, or 5 for pentagons)."""
+    cell = np.uint64(cell)
+    nb = neighbors_ordered(np.array([cell]))[0]
+    ks = np.flatnonzero(nb != 0).astype(np.uint64)
+    return (np.uint64(cell) & _EDGE_CLEAR) | _MODE_EDGE | (
+        (ks + np.uint64(1)) << np.uint64(56)
+    )
+
+
+def directed_edge_boundary(edge) -> np.ndarray:
+    """The shared-edge endpoints: boundary vertices k and k+1 of the
+    origin, degrees (2, 2) (lat, lng)."""
+    e = np.uint64(np.atleast_1d(np.asarray(edge, dtype=np.uint64))[0])
+    org = edge_origin(e)[0]
+    k = int(edge_direction(e)[0]) - 1
+    res = int(ix.get_resolution(np.array([org]))[0])
+    verts = geo._boundary_verts_uniform(np.array([org]), res)[0]
+    out = np.degrees(verts[[k, (k + 1) % len(verts)]])
+    return out

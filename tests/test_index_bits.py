@@ -155,3 +155,99 @@ class TestGridDistance:
 
         c = int(kgeo.latlng_to_cell(np.array([10.0]), np.array([10.0]), 9)[0])
         assert tv.grid_distance(c, c) == 0
+
+
+class TestDirectedEdges:
+    def test_roundtrip_and_ring(self):
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        c = kgeo.latlng_to_cell(np.array([40.75]), np.array([-73.99]), 8)[0]
+        edges = tv.origin_to_directed_edges(c)
+        assert len(edges) == 6
+        assert tv.is_valid_directed_edge(edges).all()
+        assert (tv.edge_origin(edges) == c).all()
+        dests = tv.edge_destination(edges)
+        assert set(dests.tolist()) == set(tv.grid_ring(int(c), 1).tolist())
+        back = tv.cells_to_directed_edge(
+            np.full(len(dests), c, dtype=np.uint64), dests
+        )
+        assert set(back.tolist()) == set(edges.tolist())
+
+    def test_pentagon_has_five(self):
+        import numpy as np
+
+        from sparkh3.kernel import traversal as tv
+
+        # base cell 4 is a pentagon (kernel/constants.py:112); its res-0
+        # id = mode 1, res 0, bc 4, all digits 7
+        cell = np.uint64((1 << 59) | (4 << 45) | ((1 << 45) - 1))
+        edges = tv.origin_to_directed_edges(cell)
+        assert len(edges) == 5
+        assert tv.is_valid_directed_edge(edges).all()
+
+    def test_invalid_edges_and_nonadjacent(self):
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        a = kgeo.latlng_to_cell(np.array([10.0]), np.array([10.0]), 7)[0]
+        far = kgeo.latlng_to_cell(np.array([50.0]), np.array([50.0]), 7)[0]
+        with pytest.raises(ValueError):
+            tv.cells_to_directed_edge(np.array([a]), np.array([far]))
+        # a plain cell id is not a valid edge (mode 1); index 7 invalid
+        bad = np.array([a, (a & ~np.uint64(0xF << 59)) | np.uint64(2 << 59)
+                        | np.uint64(7 << 56)], dtype=np.uint64)
+        assert not tv.is_valid_directed_edge(bad).any()
+
+    def test_boundary_is_shared_segment(self):
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        c = kgeo.latlng_to_cell(np.array([48.0]), np.array([2.0]), 7)[0]
+        e = tv.origin_to_directed_edges(c)[2]
+        seg = tv.directed_edge_boundary(e)
+        dest = tv.edge_destination(np.array([e], dtype=np.uint64))[0]
+        # both endpoints lie on the destination's boundary too
+        dres = int(np.degrees(1))  # noqa: F841 (clarity only)
+        dverts = np.degrees(
+            kgeo._boundary_verts_uniform(np.array([dest], dtype=np.uint64), 7)[0]
+        )
+        for pt in seg:
+            d = np.abs(dverts - pt[None, :]).sum(axis=1)
+            assert d.min() < 1e-9
+
+    def test_spark_surface_roundtrip(self, spark):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from sparkh3 import functions as H3F
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        c = kgeo.latlng_to_cell(np.array([35.0]), np.array([139.0]), 7)[0]
+        dests = tv.edge_destination(tv.origin_to_directed_edges(c))
+        df = spark.createDataFrame(
+            [(int(np.int64(c)), int(np.int64(d))) for d in dests],
+            "o long, d long",
+        )
+        out = (
+            df.withColumn("edge", H3F.cells_to_edge_udf()(F.col("o"), F.col("d")))
+            .withColumn("o2", H3F.edge_origin_int(F.col("edge")))
+            .withColumn("d2", H3F.edge_destination_udf()(F.col("edge")))
+            .withColumn("k", H3F.edge_direction_int(F.col("edge")))
+        ).collect()
+        for r in out:
+            assert r.o2 == r.o and r.d2 == r.d and 1 <= r.k <= 6
+        # non-adjacent -> null edge
+        far = int(np.int64(kgeo.latlng_to_cell(np.array([0.0]), np.array([0.0]), 7)[0]))
+        row = spark.createDataFrame(
+            [(int(np.int64(c)), far)], "o long, d long"
+        ).select(H3F.cells_to_edge_udf()(F.col("o"), F.col("d")).alias("e")).collect()
+        assert row[0].e is None
