@@ -641,7 +641,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("view_value"),
     )
     out = temporal.asof_join(
-        clicks, views, on="user_id", value_cols=["view_id", "view_value"]
+        clicks,
+        views,
+        on="user_id",
+        value_cols=["view_id", "view_value"],
+        right_tiebreak="view_id",
     )
     return out.select(
         "click_id",
@@ -658,8 +662,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = temporal.sessionize(ev, gap_seconds=1800, order_tiebreak="event_id")
     return s.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.min("_us").alias("start_us"),
-        F.max("_us").alias("end_us"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
     )
 
 

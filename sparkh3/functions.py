@@ -578,22 +578,33 @@ def cells_to_edge_udf():
     def f(origin: pd.Series, dest: pd.Series) -> pd.Series:
         import numpy as np
 
+        from .kernel import index as ixk
         from .kernel import traversal as tv
 
         o = origin.to_numpy(dtype=np.int64).view(np.uint64)
         d = dest.to_numpy(dtype=np.int64).view(np.uint64)
         if len(o) == 0:
             return pd.Series([], dtype="Int64")
-        nb = tv.neighbors_ordered(o)
-        k = np.argmax(nb == d[:, None], axis=1)
-        ok = nb[np.arange(len(o)), k] == d
-        edge = tv.cells_to_directed_edge(
-            o[ok], d[ok]
-        ) if ok.any() else np.array([], dtype=np.uint64)
         out = np.zeros(len(o), dtype=np.int64)
-        out[ok] = edge.view(np.int64)
+        ok_all = np.zeros(len(o), dtype=bool)
+        # per-resolution groups: the neighbor probe snaps at ONE res
+        for res in np.unique(ixk.get_resolution(o)):
+            m = ixk.get_resolution(o) == res
+            nb = tv.neighbors_ordered(o[m])
+            dm = d[m]
+            k = np.argmax(nb == dm[:, None], axis=1)
+            ok = (dm != 0) & (nb[np.arange(len(dm)), k] == dm)
+            # edge id is pure bit math once k is known — no second probe
+            edge = (
+                (o[m][ok] & tv._EDGE_CLEAR)
+                | tv._MODE_EDGE
+                | ((k[ok].astype(np.uint64) + np.uint64(1)) << np.uint64(56))
+            )
+            idx = np.flatnonzero(m)
+            out[idx[ok]] = edge.view(np.int64)
+            ok_all[idx[ok]] = True
         s = pd.Series(out).astype("Int64")
-        s[~ok] = pd.NA
+        s[~ok_all] = pd.NA
         return s
 
     return f
@@ -606,11 +617,17 @@ def edge_destination_udf():
     def f(edge: pd.Series) -> pd.Series:
         import numpy as np
 
+        from .kernel import index as ixk
         from .kernel import traversal as tv
 
         e = edge.to_numpy(dtype=np.int64).view(np.uint64)
         if len(e) == 0:
             return pd.Series([], dtype="int64")
-        return pd.Series(tv.edge_destination(e).view(np.int64))
+        out = np.zeros(len(e), dtype=np.int64)
+        org = tv.edge_origin(e)
+        for res in np.unique(ixk.get_resolution(org)):
+            m = ixk.get_resolution(org) == res
+            out[m] = tv.edge_destination(e[m]).view(np.int64)
+        return pd.Series(out)
 
     return f

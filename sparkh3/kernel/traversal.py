@@ -23,6 +23,22 @@ from . import proj
 _EDGE_EPS = 0.10  # fraction of center->edge-midpoint distance beyond the edge
 
 
+def _probe_neighbors(cells: np.ndarray, res: int) -> np.ndarray:
+    """The shared edge-probe pass: for each cell, snap a point just
+    beyond each boundary-edge midpoint. Returns the raw (N, 6) neighbor
+    matrix in boundary-edge (vertex k -> k+1) order, un-deduped."""
+    verts = geo._boundary_verts_uniform(cells, res)  # (N,6,2) radians
+    clat, clng = geo.cell_to_latlng(cells)
+    c3 = proj.geo_to_vec3(np.radians(clat), np.radians(clng))  # (N,3)
+    v3 = proj.geo_to_vec3(verts[..., 0], verts[..., 1])  # (N,6,3)
+    mid = 0.5 * (v3 + np.roll(v3, -1, axis=1))  # chord midpoints (N,6,3)
+    probe = c3[:, None, :] + (mid - c3[:, None, :]) * (1.0 + _EDGE_EPS)
+    probe = probe / np.linalg.norm(probe, axis=-1, keepdims=True)
+    plat, plng = proj.vec3_to_geo(probe.reshape(-1, 3))
+    nb = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res)
+    return nb.reshape(len(cells), 6)
+
+
 def _neighbors_with_owner(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """All edge-adjacent neighbors of each cell.
 
@@ -34,15 +50,7 @@ def _neighbors_with_owner(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
     res = int(ix.get_resolution(cells[:1])[0])
-    verts = geo._boundary_verts_uniform(cells, res)  # (N,6,2) radians
-    clat, clng = geo.cell_to_latlng(cells)
-    c3 = proj.geo_to_vec3(np.radians(clat), np.radians(clng))  # (N,3)
-    v3 = proj.geo_to_vec3(verts[..., 0], verts[..., 1])  # (N,6,3)
-    mid = 0.5 * (v3 + np.roll(v3, -1, axis=1))  # chord midpoints (N,6,3)
-    probe = c3[:, None, :] + (mid - c3[:, None, :]) * (1.0 + _EDGE_EPS)
-    probe = probe / np.linalg.norm(probe, axis=-1, keepdims=True)
-    plat, plng = proj.vec3_to_geo(probe.reshape(-1, 3))
-    nb = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res)
+    nb = _probe_neighbors(cells, res).reshape(-1)
     owner = np.repeat(np.arange(n, dtype=np.int64), 6)
     keep = nb != cells[owner]
     owner = owner[keep]
@@ -266,24 +274,19 @@ def grid_distance(a: int, b: int) -> int:
 
 def neighbors_ordered(cells: np.ndarray) -> np.ndarray:
     """(N, 6) neighbor matrix in boundary-edge order (edge k runs from
-    boundary vertex k to k+1). 0 marks a missing edge (pentangle slots
-    and probe-degenerate duplicates). `cells` must be uniform res."""
+    boundary vertex k to k+1). 0 marks a missing edge (pentagon slots
+    and probe-degenerate duplicates). Raises on mixed resolutions (a
+    silent first-row res would snap every other row's neighbors at the
+    wrong scale)."""
     cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
     n = len(cells)
     if n == 0:
         return np.zeros((0, 6), dtype=np.uint64)
-    res = int(ix.get_resolution(cells[:1])[0])
-    verts = geo._boundary_verts_uniform(cells, res)
-    clat, clng = geo.cell_to_latlng(cells)
-    c3 = proj.geo_to_vec3(np.radians(clat), np.radians(clng))
-    v3 = proj.geo_to_vec3(verts[..., 0], verts[..., 1])
-    mid = 0.5 * (v3 + np.roll(v3, -1, axis=1))
-    probe = c3[:, None, :] + (mid - c3[:, None, :]) * (1.0 + _EDGE_EPS)
-    probe = probe / np.linalg.norm(probe, axis=-1, keepdims=True)
-    plat, plng = proj.vec3_to_geo(probe.reshape(-1, 3))
-    nb = geo.latlng_to_cell(np.degrees(plat), np.degrees(plng), res).reshape(
-        n, 6
-    )
+    rs = ix.get_resolution(cells)
+    res = int(rs[0])
+    if (rs != res).any():
+        raise ValueError("neighbors_ordered requires uniform resolution")
+    nb = _probe_neighbors(cells, res)
     nb[nb == cells[:, None]] = np.uint64(0)
     # a pentagon's degenerate vertex yields the same neighbor twice:
     # keep the first occurrence per row only
@@ -312,7 +315,8 @@ def cells_to_directed_edge(origin, dest) -> np.ndarray:
     dest = np.atleast_1d(np.asarray(dest, dtype=np.uint64))
     nb = neighbors_ordered(origin)
     k = np.argmax(nb == dest[:, None], axis=1).astype(np.uint64)
-    ok = nb[np.arange(len(origin)), k.astype(np.int64)] == dest
+    # dest==0 would match a pentagon's deleted-slot sentinel
+    ok = (dest != 0) & (nb[np.arange(len(origin)), k.astype(np.int64)] == dest)
     if not ok.all():
         bad = origin[~ok][:1]
         raise ValueError(f"cells not adjacent (origin {bad})")
@@ -358,9 +362,14 @@ def is_valid_directed_edge(edge) -> np.ndarray:
         org_ok = ix.is_valid_cell(org)
         sub = np.zeros(int(cand.sum()), dtype=bool)
         if org_ok.any():
-            nb = neighbors_ordered(org[org_ok])
+            good = org[org_ok]
             kk = (k[cand][org_ok] - np.uint64(1)).astype(np.int64)
-            sub[org_ok] = nb[np.arange(len(kk)), kk] != 0
+            exists = np.zeros(len(good), dtype=bool)
+            for res in np.unique(ix.get_resolution(good)):
+                m = ix.get_resolution(good) == res
+                nb = neighbors_ordered(good[m])
+                exists[m] = nb[np.arange(int(m.sum())), kk[m]] != 0
+            sub[org_ok] = exists
         out[cand] = sub
     return out
 

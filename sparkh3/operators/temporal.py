@@ -29,13 +29,21 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     how: str = "inner",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the largest
     ``right_ts <= left_ts`` for the same ``on`` key (DuckDB/kdb ASOF
     semantics; ties at equal ts match). ``how='inner'`` drops left rows
     with no prior right row, ``'left'`` keeps them with nulls.
 
-    Output: all left columns + the chosen right ``value_cols``.
+    Output: all left columns + the chosen right ``value_cols``. The
+    right row is carried ATOMICALLY (one struct per row), so nulls
+    inside value columns never stitch values from different right rows,
+    and the match indicator is the row itself — a matched row whose
+    values are all null still matches. ``right_tiebreak`` names a right
+    column that deterministically orders right rows sharing (key, ts)
+    (largest wins); without it, equal-ts right rows tie arbitrarily
+    (exactly like SQL ASOF JOIN).
 
     100 TB shape: one exchange on the key + one window — the right
     side's values ride the same shuffle as the left rows (no broadcast
@@ -52,43 +60,54 @@ def asof_join(
         raise ValueError(
             f"value_cols {overlap} collide with left columns — alias them"
         )
-    lhs = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_src"),
-        *[F.col(c) for c in left.columns],
-        *[F.lit(None).alias(f"_v_{c}") for c in value_cols],
+    # the whole right row rides ONE struct (never-null for right rows:
+    # the ts field guarantees that even with all value_cols null)
+    row_struct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    tb = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
     )
     rhs = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_src"),
+        tb.alias("_tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        row_struct.alias("_vrow"),
     )
-    # right rows sort BEFORE left rows at equal ts so `<=` ties match
+    # left rows carry typed nulls for the right-side slots (_tb never
+    # orders left-vs-right — _src already does)
+    vrow_t = rhs.schema["_vrow"].dataType
+    tb_t = rhs.schema["_tb"].dataType
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(tb_t).alias("_tb"),
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(vrow_t).alias("_vrow"),
+    )
+    # right rows sort BEFORE left rows at equal ts so `<=` ties match;
+    # _tb orders equal-ts right rows (last = largest wins)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_src").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = lhs.unionByName(rhs)
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w)
-        )
-    out = carried.filter(F.col("_src") == 1).select(
-        *[F.col(c) for c in left.columns],
-        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+    carried = lhs.unionByName(rhs, allowMissingColumns=False).withColumn(
+        "_vrow", F.last("_vrow", ignorenulls=True).over(w)
     )
+    out = carried.filter(F.col("_src") == 1)
     if how == "inner":
-        cond = None
-        for c in value_cols:
-            nn = F.col(c).isNotNull()
-            cond = nn if cond is None else (cond | nn)
-        if cond is not None:
-            out = out.filter(cond)
-    return out
+        out = out.filter(F.col("_vrow").isNotNull())
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_vrow.{c}").alias(c) for c in value_cols],
+    )
 
 
 def sessionize(
@@ -100,15 +119,16 @@ def sessionize(
 ) -> DataFrame:
     """Gap-based sessions: within each key (ordered by ts), a new
     session starts when the gap from the previous event exceeds
-    ``gap_seconds``. Adds ``session_seq`` (1-based per key).
+    ``gap_seconds``. Adds ``session_seq`` (1-based per key) and
+    ``ts_us`` (the event's epoch microseconds — the integer the gap
+    logic ran on, kept so downstream session aggregates stay in exact
+    integer arithmetic).
 
-    Integer microsecond arithmetic end-to-end, so session boundaries
-    are bit-exact across engines. One window chain per key — no
-    self-join, no UDF.
+    One window chain per key — no self-join, no UDF.
     """
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
-    order = [F.col("_us").asc()]
+    order = [F.col("ts_us").asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
     w = Window.partitionBy(key).orderBy(*order)
@@ -124,9 +144,9 @@ def sessionize(
         )
     else:
         us = F.unix_micros(F.col(ts_col))
-    e = events.withColumn("_us", us)
+    e = events.withColumn("ts_us", us)
     new_flag = (
-        F.col("_us") - F.lag("_us", 1).over(w) > F.lit(gap_us)
+        F.col("ts_us") - F.lag("ts_us", 1).over(w) > F.lit(gap_us)
     ).cast("int")
     return (
         e.withColumn("_new", F.coalesce(new_flag, F.lit(1)))

@@ -214,7 +214,6 @@ class TestDirectedEdges:
         seg = tv.directed_edge_boundary(e)
         dest = tv.edge_destination(np.array([e], dtype=np.uint64))[0]
         # both endpoints lie on the destination's boundary too
-        dres = int(np.degrees(1))  # noqa: F841 (clarity only)
         dverts = np.degrees(
             kgeo._boundary_verts_uniform(np.array([dest], dtype=np.uint64), 7)[0]
         )

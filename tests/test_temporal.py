@@ -74,3 +74,74 @@ class TestSessionize:
         assert seqs == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
         with pytest.raises(ValueError):
             temporal.sessionize(ev, gap_seconds=0)
+
+
+class TestAsofReviewRegressions:
+    def test_null_values_carry_atomically(self, spark):
+        """A right row with NULL value columns must match as itself —
+        never stitch values from an older right row."""
+        left = spark.createDataFrame(
+            [(1, 1, _ts(30))], "lid long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(101, 1, _ts(10), 1.0), (102, 1, _ts(20), None)],
+            "rid long, k long, ts timestamp, v double",
+        )
+        out = temporal.asof_join(
+            left, right, on="k", value_cols=["rid", "v"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0].rid == 102 and out[0].v is None
+
+    def test_all_null_right_row_still_inner_matches(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, _ts(30))], "lid long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(10), None)], "k long, ts timestamp, v double"
+        )
+        out = temporal.asof_join(
+            left, right, on="k", value_cols=["v"]
+        ).collect()
+        assert len(out) == 1 and out[0].v is None
+
+    def test_equal_ts_tiebreak_deterministic(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, _ts(30))], "lid long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(101, 1, _ts(20), 1.0), (102, 1, _ts(20), 2.0)],
+            "rid long, k long, ts timestamp, v double",
+        )
+        for _ in range(3):
+            out = temporal.asof_join(
+                left, right, on="k",
+                value_cols=["rid", "v"], right_tiebreak="rid",
+            ).collect()
+            assert out[0].rid == 102 and out[0].v == 2.0
+
+
+class TestEdgeUdfMixedRes:
+    def test_mixed_resolution_batch(self, spark):
+        import numpy as np
+
+        from sparkh3 import functions as H3F
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        c7 = kgeo.latlng_to_cell(np.array([35.0]), np.array([139.0]), 7)[0]
+        c9 = kgeo.latlng_to_cell(np.array([52.0]), np.array([13.0]), 9)[0]
+        d7 = tv.edge_destination(tv.origin_to_directed_edges(c7)[:1])[0]
+        d9 = tv.edge_destination(tv.origin_to_directed_edges(c9)[:1])[0]
+        df = spark.createDataFrame(
+            [(int(np.int64(c7)), int(np.int64(d7))),
+             (int(np.int64(c9)), int(np.int64(d9)))],
+            "o long, d long",
+        )
+        rows = (
+            df.withColumn("e", H3F.cells_to_edge_udf()(F.col("o"), F.col("d")))
+            .withColumn("d2", H3F.edge_destination_udf()(F.col("e")))
+            .collect()
+        )
+        for r in rows:
+            assert r.e is not None and r.d2 == r.d
