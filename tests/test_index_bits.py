@@ -250,3 +250,40 @@ class TestDirectedEdges:
             [(int(np.int64(c)), far)], "o long, d long"
         ).select(H3F.cells_to_edge_udf()(F.col("o"), F.col("d")).alias("e")).collect()
         assert row[0].e is None
+
+    def test_od_flow_rollup_composition(self, spark):
+        """Directed edges as OD-flow join keys: synthetic movements
+        between adjacent cells -> ONE int64 edge id each -> groupBy edge
+        -> flow counts, with origin/direction re-derived by native bit
+        math (no Python in the rollup)."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from sparkh3 import functions as H3F
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        c = kgeo.latlng_to_cell(np.array([40.75]), np.array([-73.99]), 7)[0]
+        dests = tv.edge_destination(tv.origin_to_directed_edges(c))
+        moves = [
+            (int(np.int64(c)), int(np.int64(dests[i % len(dests)])))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(moves, "o long, d long")
+        flows = (
+            df.withColumn("edge", H3F.cells_to_edge_udf()(F.col("o"), F.col("d")))
+            .groupBy("edge")
+            .agg(F.count("*").alias("n"))
+            .withColumn("origin", H3F.edge_origin_int(F.col("edge")))
+            .withColumn("dir", H3F.edge_direction_int(F.col("edge")))
+        )
+        rows = flows.collect()
+        assert len(rows) == 6 and all(r.n == 10 for r in rows)
+        assert all(r.origin == int(np.int64(c)) for r in rows)
+        assert sorted(r.dir for r in rows) == [1, 2, 3, 4, 5, 6]
+        # the post-encode rollup plan is pure JVM (one Python eval node
+        # for the encode, none after)
+        plan = flows._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        assert final.count("ArrowEvalPython") <= 1
