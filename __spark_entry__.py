@@ -525,6 +525,87 @@ def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
 
 
+def q_linetrace_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linetrace lane (rows-only: H3-valued; golden-gated in
+    tests/test_polyfill_linetrace_spark.py incl. the reference NZ line
+    and antimeridian multiline — /root/reference/h3pandas/h3pandas.py:
+    760-804, tests/test_h3pandas.py:309-439).
+
+    Traces the NZ golden line, the reference antimeridian multiline,
+    and 20 deterministic synthetic segments at res 5; emits per line the
+    sequential-deduplicated cell count and the first/last cells."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    line_t = ArrayType(
+        ArrayType(
+            StructType(
+                [
+                    StructField("lng", DoubleType()),
+                    StructField("lat", DoubleType()),
+                ]
+            )
+        )
+    )
+
+    def pts(seq):
+        return [{"lng": float(x), "lat": float(y)} for x, y in seq]
+
+    rows = [
+        # the reference NZ linestring (tests/test_h3pandas.py:37-41)
+        (0, [pts([(174.793092, -37.005372), (175.621138, -40.323142)])]),
+        # the reference antimeridian multiline (:44-57) — one part
+        # crosses lng 180
+        (
+            1,
+            [
+                pts([(168.222656, -45.79817), (171.914063, -34.307144)]),
+                pts([(171.914063, -34.307144), (178.769531, -37.926868)]),
+                pts([(178.769531, -37.926868), (183.515625, -43.992815)]),
+            ],
+        ),
+    ]
+    for i in range(2, 22):
+        lat0 = ((i * 37) % 120) - 60.0
+        lng0 = ((i * 73) % 340) - 170.0
+        rows.append((i, [pts([(lng0, lat0), (lng0 + 2.5, lat0 + 1.5)])]))
+    schema = StructType(
+        [StructField("line_id", LongType()), StructField("line", line_t)]
+    )
+    out = dfo.linetrace(spark.createDataFrame(rows, schema), 5)
+    return out.select(
+        "line_id",
+        F.size("h3_linetrace").alias("n_cells"),
+        F.element_at("h3_linetrace", 1).alias("first_cell"),
+        F.element_at("h3_linetrace", -1).alias("last_cell"),
+    ).orderBy("line_id")
+
+
+def q_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary + centroid + area lane over the top-50 densest res-6
+    cells (rows-only: H3-kernel-valued; boundary/area goldens live in
+    tests/test_kernel_geo.py and test_dataframe_ops.py — reference ops 2,
+    3, 12, h3pandas.py:105-164,409-430). Emits per cell the boundary
+    vertex count (6/7 hexagon ring closure, extra distortion vertices at
+    icosahedron edges), the centroid, and the km^2 area."""
+    cells = q_h3_cells_topk(spark, sf_dir).select("h3_06")
+    out = dfo.h3_to_geo(cells, h3_col="h3_06")
+    out = dfo.h3_to_geo_boundary(out, h3_col="h3_06")
+    out = dfo.cell_area(out, h3_col="h3_06")
+    return out.select(
+        "h3_06",
+        F.size("geometry").alias("n_vertices"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lng", 6).alias("lng"),
+        F.round("h3_cell_area", 6).alias("area_km2"),
+    ).orderBy("h3_06")
+
+
 def q_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raster -> hex aggregate -> raster (centroid snap). H3-valued
     intermediate, so rows-only (kernel gated by the golden suite)."""
@@ -813,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "raster_roundtrip": q_raster_roundtrip,
         "winnow_stats": q_winnow_stats,
+        "linetrace_cells": q_linetrace_cells,
+        "cell_geometry": q_cell_geometry,
     }
 
 

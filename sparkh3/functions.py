@@ -209,8 +209,16 @@ def cell_to_latlng_udf():
     return f
 
 
+# valid H3 res-0 cell (mode 1, base cell 0, all digits 7) — the
+# null-substitution sentinel for int64 H3 UDF inputs (see
+# _null_safe_int_udf: one null would float64 the whole Arrow batch and
+# corrupt the low digit bits of every other id in it)
+_H3_CELL_SENTINEL = 0x08001FFFFFFFFFFF
+
+
 def cell_to_latlng_long_udf():
-    """Centroid from int64 cell ids (no hex decode, flat numeric Arrow)."""
+    """Centroid from int64 cell ids (no hex decode, flat numeric Arrow;
+    exact integer path, null-safe JVM-side)."""
 
     @F.pandas_udf(_LATLNG_STRUCT)
     def f(cell: pd.Series) -> pd.DataFrame:
@@ -218,15 +226,11 @@ def cell_to_latlng_long_udf():
 
         from .kernel import geo
 
-        vals = cell.to_numpy(dtype=np.int64, na_value=0)
-        null = pd.isna(cell).to_numpy()
-        lat, lng = geo.cell_to_latlng(vals.view(np.uint64))
-        df = pd.DataFrame({"lat": lat, "lng": lng})
-        if null.any():
-            df.loc[null, :] = None
-        return df
+        vals = cell.to_numpy(dtype=np.int64).view(np.uint64)
+        lat, lng = geo.cell_to_latlng(vals)
+        return pd.DataFrame({"lat": lat, "lng": lng})
 
-    return f
+    return _null_safe_int_udf(f, _H3_CELL_SENTINEL)
 
 
 _RING_TYPE = ArrayType(
@@ -467,7 +471,12 @@ def uncompact_udf(res: int):
 
 def s2_parent_int(v: Column, level: int) -> Column:
     """S2 ancestor at `level` — pure bit math (published lsb trick),
-    JVM codegen, no UDF: (id & ~(2*lsb - 1)) | lsb."""
+    JVM codegen, no UDF: (id & ~(2*lsb - 1)) | lsb.
+
+    Precondition (documented, not checked — this is raw JVM bit math):
+    `level` must be <= every cell's own level; a finer `level` would
+    fabricate a descendant-positioned id. The kernel-side
+    ``kernel.s2.cell_to_parent`` raises on violation."""
     lsb = 1 << (2 * (30 - level))
     return v.bitwiseAND(F.lit(~(2 * lsb - 1))).bitwiseOR(F.lit(lsb))
 
@@ -503,8 +512,37 @@ def latlng_to_s2_udf(level: int):
     return f
 
 
+# Null handling for int64-cell-input UDFs must happen JVM-SIDE: one null
+# in an Arrow batch makes the pandas conversion deliver the WHOLE batch
+# as float64 (only 52 mantissa bits), silently corrupting the low bits of
+# every id >= 2^53 — i.e. any S2 cell at level >= 26. So the input is
+# coalesced to a sentinel (the face-0 face cell, always valid to decode)
+# before the UDF and nulls are restored after; the UDF body then runs a
+# pure int64 path with no null branch at all.
+_S2_NULL_SENTINEL = 1 << 60
+
+
+def _null_safe_int_udf(udf, sentinel=_S2_NULL_SENTINEL):
+    """Wrap an int64-input pandas UDF so its batches are never nullable:
+    udf(coalesce(c, sentinel)) gated by when(all inputs not null, ...).
+    The sentinel must be a valid id for the udf's domain (decode output
+    is discarded by the when-gate)."""
+
+    def apply(*cols):
+        cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        cond = cs[0].isNotNull()
+        for c in cs[1:]:
+            cond = cond & c.isNotNull()
+        return F.when(
+            cond, udf(*[F.coalesce(c, F.lit(sentinel)) for c in cs])
+        )
+
+    return apply
+
+
 def s2_to_latlng_udf():
-    """int64 S2 cell id -> struct<lat,lng> center (Arrow-vectorized)."""
+    """int64 S2 cell id -> struct<lat,lng> center (Arrow-vectorized,
+    exact integer path for all levels 0-30; null-safe JVM-side)."""
 
     @F.pandas_udf(
         StructType(
@@ -516,20 +554,16 @@ def s2_to_latlng_udf():
 
         from .kernel import s2
 
-        vals = cell.to_numpy(dtype=np.float64, na_value=np.nan)
-        null = np.isnan(vals)
-        safe = np.where(null, 1 << 60, vals).astype(np.int64).view(np.uint64)
-        lat, lng = s2.cell_to_latlng(safe)
-        out = pd.DataFrame({"lat": lat, "lng": lng})
-        out.loc[null, ["lat", "lng"]] = None
-        return out
+        vals = cell.to_numpy(dtype=np.int64).view(np.uint64)
+        lat, lng = s2.cell_to_latlng(vals)
+        return pd.DataFrame({"lat": lat, "lng": lng})
 
-    return f
+    return _null_safe_int_udf(f)
 
 
 def s2_token_udf():
     """int64 S2 cell id -> canonical token (hex, trailing zeros
-    stripped)."""
+    stripped; exact integer path, null-safe JVM-side)."""
 
     @F.pandas_udf(StringType())
     def f(cell: pd.Series) -> pd.Series:
@@ -537,15 +571,10 @@ def s2_token_udf():
 
         from .kernel import s2
 
-        vals = cell.to_numpy(dtype=object)
-        null = pd.isna(vals)
-        safe = np.where(null, 1 << 60, vals).astype(np.int64).view(np.uint64)
-        toks = s2.cell_to_token(safe)
-        out = pd.Series(toks, dtype=object)
-        out[null] = None
-        return out
+        vals = cell.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(s2.cell_to_token(vals), dtype=object)
 
-    return f
+    return _null_safe_int_udf(f)
 
 
 # ---------------------------------------------------------------------------
@@ -607,7 +636,9 @@ def cells_to_edge_udf():
         s[~ok_all] = pd.NA
         return s
 
-    return f
+    # sentinel pair (cell, cell) is self-non-adjacent -> kernel returns
+    # NA for it anyway; the when-gate restores input nulls regardless
+    return _null_safe_int_udf(f, _H3_CELL_SENTINEL)
 
 
 def edge_destination_udf():
@@ -630,4 +661,10 @@ def edge_destination_udf():
             out[m] = tv.edge_destination(e[m]).view(np.int64)
         return pd.Series(out)
 
-    return f
+    # a valid mode-2 edge over the cell sentinel (edge index 1)
+    edge_sentinel = (
+        (_H3_CELL_SENTINEL & ~((0xF << 59) | (0x7 << 56)))
+        | (0x2 << 59)
+        | (1 << 56)
+    )
+    return _null_safe_int_udf(f, edge_sentinel)

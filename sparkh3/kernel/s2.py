@@ -226,8 +226,23 @@ def is_valid_cell(cell) -> np.ndarray:
 
 def cell_to_parent(cell, level: int) -> np.ndarray:
     """Ancestor at `level` — pure bit math (published lsb trick):
-    (id & -newlsb... ) == (id & ~(2*newlsb - 1)) | newlsb."""
+    (id & -newlsb... ) == (id & ~(2*newlsb - 1)) | newlsb.
+
+    `level` must be coarser than (or equal to) every cell's own level —
+    asking for a FINER "parent" would silently fabricate a valid-looking
+    descendant-positioned id, so it raises instead (the reference S2
+    ``parent(level)`` contract). The SQL-side ``s2_parent_int`` is raw
+    JVM bit math and cannot raise; its docstring documents the same
+    precondition."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
     cell = _asu64(cell)
+    lev = get_level(cell)
+    if (lev < np.uint64(level)).any():
+        raise ValueError(
+            f"cell_to_parent: level {level} is finer than some input "
+            f"cells' own level (min level present: {int(lev.min())})"
+        )
     nl = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
     return (cell & ~(np.uint64(2) * nl - np.uint64(1))) | nl
 
@@ -318,16 +333,20 @@ def _may_intersect_rect(
     lat_min = np.where(pole_s, -90.0, lat_min)
 
     # longitude interval of the vertex hull, on the circle: deltas
-    # relative to vertex 0, then expand by D / cos(extreme lat)
+    # relative to vertex 0, then expand by D / cos(extreme lat). The
+    # expansion factor is only sound below the clamp latitude, so any
+    # cell whose expanded lat interval reaches past it is treated as
+    # full-circle in longitude — that keeps the never-false-negative
+    # guarantee DERIVED (not asserted) all the way to the poles, at
+    # negligible covering growth (only near-polar cells widen).
     ref = vlng[:, 0]
     d = np.mod(vlng - ref[:, None] + 180.0, 360.0) - 180.0
-    extreme = np.minimum(
-        89.9, np.maximum(np.abs(lat_min), np.abs(lat_max))
-    )
-    exp_lng = exp / np.cos(np.radians(extreme))
+    extreme = np.maximum(np.abs(lat_min), np.abs(lat_max))
+    near_pole = extreme >= 89.9
+    exp_lng = exp / np.cos(np.radians(np.minimum(extreme, 89.9)))
     c_lo = ref + d.min(axis=1) - exp_lng
     span = d.max(axis=1) - d.min(axis=1) + 2.0 * exp_lng
-    full = pole_n | pole_s | (span >= 360.0)
+    full = pole_n | pole_s | near_pole | (span >= 360.0)
 
     lat_ok = (lat_min <= lat_hi) & (lat_max >= lat_lo)
     # circular interval overlap: [0, span] vs [off, off + rect_w]

@@ -235,7 +235,7 @@ def ivf_train_centroids(
 
 
 def ivf_cosine_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int,
     n_lists: int = 32,
@@ -245,25 +245,51 @@ def ivf_cosine_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    table_root: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus rows land in ONE centroid list
     (narrow int64 key), queries probe their `n_probe` nearest lists,
     exact cosine re-rank among candidates. Complements hyperplane LSH:
     recall tracks data clustering instead of random projections, and the
     inverted-list layout is the natural bucketed-parquet partitioning
-    for a 100 TB corpus (partition by _list, prune by probe set)."""
-    if centroids is None:
-        centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    for a 100 TB corpus.
+
+    ``table_root`` is the at-scale read path: the corpus was
+    materialized list-major by ``ivf_write_corpus`` and only the FILES
+    of the probed lists are read — the manifest layer prunes the scan
+    list before Spark plans (``corpus`` may be None then; the codebook
+    is loaded from the table's metadata so assignment is guaranteed
+    consistent with what was written)."""
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
     )
-    c_assign = _ivf_assign_udf(centroids, 1)
-    q_assign = _ivf_assign_udf(centroids, n_probe)
-    c_l = c.withColumn("_list", F.element_at(c_assign(F.col("_cv")), 1))
-    q_l = q.select(
-        "_qid", "_qv", F.explode(q_assign(F.col("_qv"))).alias("_list")
-    )
+    if table_root is not None:
+        cb = _ivf_load_codebook(table_root)
+        centroids = cb["centroids"]
+        q_assign = _ivf_assign_udf(centroids, n_probe)
+        q_l = q.select(
+            "_qid", "_qv", F.explode(q_assign(F.col("_qv"))).alias("_list")
+        )
+        # the probe set is <= n_lists small ints (codebook-sized — the
+        # driver already holds the codebook by design)
+        probe = [r[0] for r in q_l.select("_list").distinct().collect()]
+        c_l = ivf_read_corpus(queries.sparkSession, table_root, probe).select(
+            F.col(cb["id_col"]).alias("_cid"),
+            F.col(cb["vec_col"]).alias("_cv"),
+            "_list",
+        )
+    else:
+        if centroids is None:
+            centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
+        c = corpus.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+        c_assign = _ivf_assign_udf(centroids, 1)
+        q_assign = _ivf_assign_udf(centroids, n_probe)
+        c_l = c.withColumn("_list", F.element_at(c_assign(F.col("_cv")), 1))
+        q_l = q.select(
+            "_qid", "_qv", F.explode(q_assign(F.col("_qv"))).alias("_list")
+        )
     cands = c_l.join(F.broadcast(q_l), "_list").filter(
         F.col("_cid") != F.col("_qid")
     )
@@ -279,6 +305,108 @@ def ivf_cosine_topk(
         F.col("_cid").alias("vec_id"),
         "sim",
         "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF inverted lists as a manifest table — the declared 100 TB layout,
+# now a tested path: list-major int64 key, manifest file pruning by
+# probe set (sources/manifest.py read_table ranges=)
+# ---------------------------------------------------------------------------
+
+# key = (_list << IVF_LIST_SHIFT) | (xxhash64(id) & low-bit mask): list id
+# in the top bits makes manifest bucketing (top 64-IVF_LIST_SHIFT bits of
+# the key) EQUAL the list id, and the hashed low bits keep within-list
+# file clustering spread. Key stays < 2^63 for n_lists <= 2^15.
+IVF_LIST_SHIFT = 48
+_IVF_BUCKET_BITS = 64 - IVF_LIST_SHIFT
+
+
+def ivf_list_ranges(lists) -> list[tuple[int, int]]:
+    """Probe lists -> sorted disjoint [lo, hi] ranges in inverted-list
+    key space (one range per probed list)."""
+    return [
+        (lst << IVF_LIST_SHIFT, ((lst + 1) << IVF_LIST_SHIFT) - 1)
+        for lst in sorted({int(x) for x in lists})
+    ]
+
+
+def ivf_write_corpus(
+    corpus: DataFrame,
+    root: str,
+    n_lists: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Materialize the IVF inverted-list layout through the manifest
+    table layer: one deterministic list assignment pass, rows written
+    list-major (manifest bucket == list id), codebook persisted beside
+    the snapshot so reads assign queries with the exact centroids the
+    corpus was partitioned by. Returns the snapshot dict."""
+    import json as _json
+    from pathlib import Path
+
+    from ..sources import manifest
+
+    if not 1 <= n_lists <= (1 << (63 - IVF_LIST_SHIFT)):
+        raise ValueError(
+            f"n_lists must be 1..{1 << (63 - IVF_LIST_SHIFT)}, got {n_lists}"
+        )
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
+    assign = _ivf_assign_udf(centroids, 1)
+    mask = (1 << IVF_LIST_SHIFT) - 1
+    keyed = corpus.withColumn(
+        "_list", F.element_at(assign(F.col(vec_col)), 1)
+    ).withColumn(
+        "_ivf_key",
+        F.shiftleft(F.col("_list"), IVF_LIST_SHIFT).bitwiseOR(
+            F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(mask))
+        ),
+    )
+    snap = manifest.write_table(
+        keyed, root, "_ivf_key", key_is_int=True, bucket_bits=_IVF_BUCKET_BITS
+    )
+    codebook = {
+        "n_lists": int(n_lists),
+        "list_shift": IVF_LIST_SHIFT,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": np.asarray(centroids, dtype=np.float64).tolist(),
+    }
+    (
+        Path(root) / "metadata" / f"ivf_codebook_v{snap['version']}.json"
+    ).write_text(_json.dumps(codebook))
+    return snap
+
+
+def _ivf_load_codebook(root: str, version: int | None = None) -> dict:
+    import json as _json
+    from pathlib import Path
+
+    from ..sources import manifest
+
+    snap = manifest.load_snapshot(root, version)
+    cb = _json.loads(
+        (
+            Path(root) / "metadata" / f"ivf_codebook_v{snap['version']}.json"
+        ).read_text()
+    )
+    cb["centroids"] = np.asarray(cb["centroids"], dtype=np.float64)
+    return cb
+
+
+def ivf_read_corpus(
+    spark, root: str, probe_lists, version: int | None = None
+) -> DataFrame:
+    """Read only the inverted lists in ``probe_lists``: the manifest
+    prunes data FILES to the probe set's key ranges before Spark plans,
+    and the residual range filter pushes down to parquet row groups."""
+    from ..sources import manifest
+
+    return manifest.read_table(
+        spark, root, ranges=ivf_list_ranges(probe_lists), version=version
     )
 
 

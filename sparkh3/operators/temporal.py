@@ -51,6 +51,16 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how}")
+    # the union-and-carry construction reserves these working names; a
+    # left column with one of them would alias-collide and corrupt the
+    # window ordering — reject up front (same policy as value_cols overlap)
+    reserved = ("_k", "_ts", "_src", "_tb", "_vrow")
+    clash = [c for c in reserved if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with asof_join's reserved "
+            f"working columns {reserved} — rename them first"
+        )
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in (on, right_ts)
@@ -59,6 +69,11 @@ def asof_join(
     if overlap:
         raise ValueError(
             f"value_cols {overlap} collide with left columns — alias them"
+        )
+    if "_rts" in value_cols:
+        raise ValueError(
+            "value_cols may not contain '_rts' (reserved struct field "
+            "carrying the matched right timestamp)"
         )
     # the whole right row rides ONE struct (never-null for right rows:
     # the ts field guarantees that even with all value_cols null)

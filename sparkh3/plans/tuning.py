@@ -35,7 +35,9 @@ def parse_mem(s: str) -> int:
     JavaUtils byte-string grammar: optional k/m/g/t with optional
     trailing 'b')."""
     s = s.strip().lower()
-    if s.endswith("b") and len(s) > 1 and not s[-2].isdigit():
+    # trailing 'b' is legal after a unit letter ('8gb') AND after a bare
+    # digit ('1024b' = 1024 bytes, per JavaUtils) — strip in both cases
+    if s.endswith("b") and len(s) > 1 and (s[-2].isdigit() or s[-2] in "kmgt"):
         s = s[:-1]
     units = {"k": 1 << 10, "m": MIB, "g": GIB, "t": 1 << 40}
     if s and s[-1] in units:

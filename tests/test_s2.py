@@ -182,6 +182,30 @@ class TestCovering:
         plo, phi = s2.descendant_range(parent)
         assert len(lo) == 1 and lo[0] == plo[0] and hi[0] == phi[0]
 
+    def test_parent_level_guard(self):
+        """Asking for a 'parent' FINER than the cell's own level must
+        raise, not fabricate a descendant-positioned id."""
+        c10 = s2.latlng_to_cell(40.0, -73.0, 10)
+        with pytest.raises(ValueError, match="finer"):
+            s2.cell_to_parent(c10, 11)
+        # equal level is the identity, coarser is fine
+        assert int(s2.cell_to_parent(c10, 10)[0]) == int(c10[0])
+        assert int(s2.get_level(s2.cell_to_parent(c10, 3))[0]) == 3
+        with pytest.raises(ValueError, match="level"):
+            s2.cell_to_parent(c10, 31)
+
+    def test_near_pole_band_covering(self):
+        """A sub-pole band (touching neither pole pixel) exercises the
+        near-pole full-longitude fallback: cells whose expanded lat hull
+        crosses 89.9 deg go full-circle instead of trusting the clamped
+        cosine expansion."""
+        rng = np.random.default_rng(11)
+        cov = s2.rect_covering(89.3, 89.95, -180.0, 180.0, 6)
+        la = rng.uniform(89.3, 89.95, 2000)
+        lo = rng.uniform(-180, 180, 2000)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), 6)
+        assert np.isin(par, cov).all()
+
     def test_bad_inputs(self):
         with pytest.raises(ValueError):
             s2.rect_covering(10.0, 5.0, 0.0, 1.0, 7)
@@ -215,6 +239,37 @@ class TestSparkSurface:
         for r, w12, w6, t, wl, wo in zip(out, want12, want6, toks, cla, clo):
             assert r.c12 == w12 and r.p6 == w6 and r.tok == t
             assert abs(r.ctr.lat - wl) < 1e-12 and abs(r.ctr.lng - wo) < 1e-12
+
+    def test_decode_udf_preserves_fine_levels(self, spark):
+        """Regression: routing int64 ids through float64 keeps only 52
+        mantissa bits, so level>=26 cells (every id >= 2^60 with live
+        low bits) silently decoded as a coarser shifted cell. The decode
+        UDF must round-trip leaf (level-30) cells exactly, nulls intact."""
+        from pyspark.sql import functions as F
+
+        from sparkh3 import functions as H3F
+
+        pts = [(i, 40.0 + i * 0.003, -73.0 + i * 0.007) for i in range(20)]
+        df = spark.createDataFrame(pts, ["id", "lat", "lng"]).withColumn(
+            "c30",
+            F.when(
+                F.col("id") != 7, H3F.latlng_to_s2_udf(30)("lat", "lng")
+            ),
+        )
+        out = df.withColumn(
+            "ctr", H3F.s2_to_latlng_udf()(F.col("c30"))
+        ).collect()
+        for r in out:
+            if r.id == 7:
+                assert r.c30 is None and r.ctr is None
+                continue
+            leaf = np.uint64(np.int64(r.c30).view(np.uint64))
+            wl, wo = s2.cell_to_latlng(np.array([leaf]))
+            assert abs(r.ctr.lat - wl[0]) < 1e-12
+            assert abs(r.ctr.lng - wo[0]) < 1e-12
+            # decoded center re-encodes to the SAME leaf id
+            back = s2.latlng_to_cell(r.ctr.lat, r.ctr.lng, 30)
+            assert int(back[0]) == int(leaf)
 
     def test_parent_null_safe(self, spark):
         from pyspark.sql import functions as F

@@ -57,6 +57,19 @@ class TestAsofJoin:
             temporal.asof_join(
                 left, right.withColumnRenamed("rid", "lid"), on="k"
             )
+        # a left column named like an internal working column would
+        # alias-collide and corrupt the carry window — rejected up front
+        with pytest.raises(ValueError, match="reserved"):
+            temporal.asof_join(
+                left.withColumnRenamed("lid", "_vrow"), right, on="k"
+            )
+        with pytest.raises(ValueError, match="_rts"):
+            temporal.asof_join(
+                left,
+                right.withColumnRenamed("v", "_rts"),
+                on="k",
+                value_cols=["rid", "_rts"],
+            )
 
 
 class TestSessionize:

@@ -187,6 +187,54 @@ class TestSimilarity:
 
         assert np.array_equal(c1, c2)
 
+    def test_ivf_manifest_table_prunes_and_matches(self, emb, spark, tmp_path):
+        """The declared 100 TB IVF layout as a TESTED path: the corpus is
+        materialized list-major through the manifest table layer, a probe
+        set with n_probe < n_lists prunes data FILES before Spark plans,
+        and the pruned-table read path returns exactly the in-memory
+        path's results (same codebook, same assignment)."""
+        from sparkh3.sources import manifest
+
+        root = str(tmp_path / "ivf_table")
+        n_lists = 16
+        cents = similarity.ivf_train_centroids(emb, n_lists)
+        snap = similarity.ivf_write_corpus(
+            emb, root, n_lists=n_lists, centroids=cents
+        )
+        assert snap["total_rows"] == emb.count()
+
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        n_probe = 3
+        # file pruning is real: a sub-full probe set keeps strictly
+        # fewer files than the table holds
+        probe = list(range(n_probe))
+        kept, total = manifest.pruned_file_count(
+            root, ranges=similarity.ivf_list_ranges(probe)
+        )
+        assert kept < total
+        # probed lists' rows are all present and list-pure after pruning
+        pruned = similarity.ivf_read_corpus(spark, root, probe)
+        assert set(
+            r._list for r in pruned.select("_list").distinct().collect()
+        ) <= set(probe)
+
+        via_table = {
+            (r.query_id, r.vec_id, r.sim, r.rank)
+            for r in similarity.ivf_cosine_topk(
+                None, queries, k=5, n_probe=n_probe, table_root=root
+            ).collect()
+        }
+        in_memory = {
+            (r.query_id, r.vec_id, r.sim, r.rank)
+            for r in similarity.ivf_cosine_topk(
+                emb, queries, k=5, n_lists=n_lists, n_probe=n_probe,
+                centroids=cents,
+            ).collect()
+        }
+        assert via_table == in_memory
+
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), "embedding"

@@ -82,3 +82,7 @@ class TestSizing:
         assert tuning.parse_mem("4g") == 4 * GIB
         assert tuning.parse_mem("512M") == 512 * MIB
         assert tuning.parse_mem("1024") == 1024
+        # JavaUtils grammar: trailing 'b' after a digit means plain bytes
+        assert tuning.parse_mem("1024b") == 1024
+        assert tuning.parse_mem("8gb") == 8 * GIB
+        assert tuning.parse_mem("64kB") == 64 * 1024
