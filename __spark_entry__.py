@@ -82,6 +82,31 @@ _RECTS = [
     ("south", -40.0, -20.0, -60.0, -40.0),
 ]
 
+# convex polygons as (lat, lng) vertex lists, CCW in the (x=lng, y=lat)
+# plane — convexity lets BOTH engines express exact planar PIP as an AND
+# of half-plane sign tests (identical double arithmetic => hash parity)
+_PIP_POLYS = [
+    ("tri_nyc", [(38.0, -76.0), (40.5, -70.5), (43.0, -75.0)]),
+    ("quad_eu", [(45.0, -5.0), (45.0, 15.0), (55.0, 15.0), (55.0, -5.0)]),
+    ("tri_tokyo", [(33.0, 136.0), (33.0, 143.0), (38.0, 140.0)]),
+    ("tri_south", [(-40.0, -60.0), (-40.0, -40.0), (-20.0, -50.0)]),
+]
+
+
+def _halfplane_sql(verts: list[tuple[float, float]], lat: str, lng: str) -> str:
+    """AND of CCW half-plane sign tests — planar convex PIP, written
+    with the same literals/ops the Spark residual uses."""
+    conds = []
+    n = len(verts)
+    for i in range(n):
+        y1, x1 = verts[i]
+        y2, x2 = verts[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * (({lat}) - {y1}) - "
+            f"({y2} - {y1}) * (({lng}) - {x1})) >= 0.0"
+        )
+    return " AND ".join(conds)
+
 
 def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = datagen.interleaved_documents(spark, sf_dir)
@@ -311,6 +336,52 @@ def q_s2_cap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_d") <= F.lit(radius))
     )
     return hits.groupBy("query_id").agg(F.count("*").alias("n_docs"))
+
+
+def q_s2_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon point counts via the S2 ARBITRARY-POLYGON covering
+    (kernel/s2.py polygon_covering — the S2 analog of H3 polyfill's
+    candidate generation, reference h3pandas/util/shapely.py:12-34):
+    polygon -> fixed-level covering (guaranteed superset) -> broadcast
+    equi-join on each point's s2_parent_int ancestor -> exact planar
+    half-plane residual (convex rings, so the SQL twin is a plain AND
+    of sign tests). Same 100 TB shape as s2_rect_count: one int64
+    ancestor per point, tiny broadcast covering, no point-side
+    shuffle."""
+    import numpy as np
+
+    from sparkh3.kernel import s2 as s2k
+
+    level = 7
+    rows = []
+    for name, verts in _PIP_POLYS:
+        for c in s2k.polygon_covering(verts, level).view(np.int64):
+            rows.append((name, int(c)))
+    cov = spark.createDataFrame(rows, "poly string, s2_07 long")
+    pts = _docs_points(spark, sf_dir)
+    enc = pts.withColumn(
+        "s2_07",
+        H3F.s2_parent_int(
+            H3F.latlng_to_s2_udf(14)(F.col("lat"), F.col("lng")), level
+        ),
+    )
+    cand = enc.join(F.broadcast(cov), "s2_07")
+    pred = None
+    for name, verts in _PIP_POLYS:
+        cond = F.col("poly") == name
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            cond = cond & (
+                (
+                    F.lit(x2 - x1) * (F.col("lat") - F.lit(y1))
+                    - F.lit(y2 - y1) * (F.col("lng") - F.lit(x1))
+                )
+                >= F.lit(0.0)
+            )
+        pred = cond if pred is None else (pred | cond)
+    return cand.filter(pred).groupBy("poly").agg(F.count("*").alias("n_docs"))
 
 
 def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rollup": q_s2_rollup,
         "s2_rect_count": q_s2_rect_count,
         "s2_cap_count": q_s2_cap_count,
+        "s2_pip_count": q_s2_pip_count,
         "pip_join_rect": q_pip_join_rect,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -952,6 +1024,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts p JOIN rects r "
             "ON p.lat >= r.y0 AND p.lat <= r.y1 "
             "AND p.lng >= r.x0 AND p.lng <= r.x1 GROUP BY 1"
+        ),
+        "s2_pip_count": (
+            f"WITH pts AS ({pts}) "
+            + " UNION ALL ".join(
+                f"SELECT '{name}' AS poly, count(*) AS n_docs FROM pts "
+                f"WHERE {_halfplane_sql(verts, 'lat', 'lng')} "
+                "HAVING count(*) > 0"
+                for name, verts in _PIP_POLYS
+            )
         ),
         "pip_join_rect": (
             f"WITH pts AS ({pts}), rects AS ({rect_union}) "

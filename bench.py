@@ -364,6 +364,14 @@ def run_extended(spark, sf_dir: str, runs: int = 2) -> dict:
         graph.connected_components(pairs, src="id_a", dst="id_b").count()
 
     best_of("x3_minhash_cc_clusters", cc_chain)
+    # round-3 temporal/embedding operators — timed so the newest
+    # additions carry a committed figure
+    best_of("x4_asof_join", lambda: E.q_asof_join(spark, sf_dir).count())
+    best_of("x5_sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
+    best_of(
+        "x6_embed_centroids",
+        lambda: E.q_embed_centroids(spark, sf_dir).count(),
+    )
     return out
 
 
@@ -501,12 +509,29 @@ def main() -> None:
         )
         runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
         # symmetric sampling: BOTH legs are min-of-`runs`, interleaved so
-        # slow-host drift hits both legs equally
+        # slow-host drift hits both legs equally. EVERY leg pair goes
+        # into the artifact (`runs` array, each with its own quick host
+        # probe) so one host phase is visible as one outlier round
+        # instead of silently poisoning — or inflating — the record;
+        # the headline efficiency is min-leg based as before.
         hi_times: list[float] = []
         lo_legs: list[tuple[int, float]] = []
+        rounds: list[dict] = []
         for _ in range(runs):
-            hi_times.append(run_scaling_leg(hi, SF_DIR, amp)[1])
-            lo_legs.append(run_scaling_leg(lo, SF_DIR, amp))
+            t_hi_i = run_scaling_leg(hi, SF_DIR, amp)[1]
+            leg = run_scaling_leg(lo, SF_DIR, amp)
+            hi_times.append(t_hi_i)
+            lo_legs.append(leg)
+            rounds.append(
+                {
+                    f"local{lo}_sec": round(leg[1], 3),
+                    f"local{hi}_sec": round(t_hi_i, 3),
+                    "efficiency": round((leg[1] / t_hi_i) / (hi / lo), 3),
+                    # cheap per-round host probe: timestamps what the
+                    # host could do while THIS pair was measured
+                    "host_bounds": host_bounds(n_rows=1_000_000, repeats=1),
+                }
+            )
         t_hi = min(hi_times)
         rows_w = lo_legs[0][0]
         t_lo = min(t for _, t in lo_legs)
@@ -518,6 +543,7 @@ def main() -> None:
             f"local{lo}_rows_per_sec": round(rows_w / t_lo, 1),
             f"local{hi}_rows_per_sec": round(rows_w / t_hi, 1),
             "efficiency": round(eff, 3),
+            "runs": rounds,
             # the host's own parallel-memory context, measured in the
             # same run so the artifact carries it: a pure-NumPy
             # 1->4-process kernel probe under fresh-allocation vs

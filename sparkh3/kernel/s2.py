@@ -298,18 +298,15 @@ def _vertices_from_fij(
 _POLE_IJ = np.uint64(1 << (MAX_LEVEL - 1))  # (u,v)=(0,0): face center
 
 
-def _may_intersect_rect(
-    cells: np.ndarray, lat_lo, lat_hi, lng_lo, lng_hi
-) -> np.ndarray:
-    """Conservative (never-false-negative) cell-vs-latlng-rect test.
-
-    A cell is contained in the union of caps of angular radius D around
-    its 4 vertices, where D bounds the cell diagonal at its level
-    (published kMaxDiag metric; 180*2^-level deg is a safe upper bound
-    incl. the level-0 faces). So [vertex lat/lng hull expanded by D]
-    is a true superset of the cell — a rect disjoint from that hull is
-    disjoint from the cell. Over-approximation only widens coverings;
-    exactness comes from the caller's residual bbox filter."""
+def _cell_hull(cells: np.ndarray):
+    """Conservative lat/lng hull of each cell: (lat_min, lat_max, c_lo,
+    span, full). A cell is contained in the union of caps of angular
+    radius D around its 4 vertices, where D bounds the cell diagonal at
+    its level (published kMaxDiag metric; 180*2^-level deg is a safe
+    upper bound incl. the level-0 faces), so the vertex hull expanded by
+    D is a TRUE SUPERSET of the cell. Longitude is the circular interval
+    [c_lo, c_lo + span]; ``full`` marks cells whose longitude must be
+    treated as the whole circle (pole-touching / near-polar / wrapped)."""
     cells = _asu64(cells)
     face, i, j, lev = _to_face_ij(cells)
     vlat, vlng = _vertices_from_fij(face, i, j, lev)
@@ -347,7 +344,18 @@ def _may_intersect_rect(
     c_lo = ref + d.min(axis=1) - exp_lng
     span = d.max(axis=1) - d.min(axis=1) + 2.0 * exp_lng
     full = pole_n | pole_s | near_pole | (span >= 360.0)
+    return lat_min, lat_max, c_lo, span, full
 
+
+def _may_intersect_rect(
+    cells: np.ndarray, lat_lo, lat_hi, lng_lo, lng_hi
+) -> np.ndarray:
+    """Conservative (never-false-negative) cell-vs-latlng-rect test:
+    a rect disjoint from the cell's expanded vertex hull (`_cell_hull`,
+    a true superset) is disjoint from the cell. Over-approximation only
+    widens coverings; exactness comes from the caller's residual
+    bbox filter."""
+    lat_min, lat_max, c_lo, span, full = _cell_hull(cells)
     lat_ok = (lat_min <= lat_hi) & (lat_max >= lat_lo)
     # circular interval overlap: [0, span] vs [off, off + rect_w]
     off = np.mod(lng_lo - c_lo, 360.0)
@@ -439,6 +447,131 @@ def cap_covering(
     return np.sort(
         frontier[_may_intersect_cap(frontier, lat, lng, radius_rad)]
     )
+
+
+def _point_in_ring(
+    x: np.ndarray, y: np.ndarray, px: np.ndarray, py: np.ndarray
+) -> np.ndarray:
+    """Vectorized planar crossing-number test: (n,) points vs one closed
+    ring (px[0] == px[-1]). Planar-in-lat/lng semantics — identical to a
+    SQL ray-cast oracle on the same coordinates."""
+    x1, y1 = px[:-1], py[:-1]
+    x2, y2 = px[1:], py[1:]
+    cond = (y1[None, :] > y[:, None]) != (y2[None, :] > y[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (y[:, None] - y1[None, :]) * (x2 - x1)[
+            None, :
+        ] / (y2 - y1)[None, :]
+    crossings = (cond & (xint > x[:, None])).sum(axis=1)
+    return (crossings % 2) == 1
+
+
+def _rect_poly_intersect(
+    xlo: np.ndarray,
+    xhi: np.ndarray,
+    ylo: np.ndarray,
+    yhi: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+) -> np.ndarray:
+    """Exact planar rect-vs-polygon intersection, vectorized over (n,)
+    per-cell rects against one closed ring. Three exhaustive cases:
+    a ring vertex inside the rect, a ring edge crossing the rect
+    (separating-axis test — exact for convex-vs-segment), or the rect
+    fully inside the ring (center-point ray cast)."""
+    vin = (
+        (px[None, :] >= xlo[:, None])
+        & (px[None, :] <= xhi[:, None])
+        & (py[None, :] >= ylo[:, None])
+        & (py[None, :] <= yhi[:, None])
+    ).any(axis=1)
+    x1, y1 = px[:-1], py[:-1]
+    x2, y2 = px[1:], py[1:]
+    bbox = (
+        (np.maximum(x1, x2)[None, :] >= xlo[:, None])
+        & (np.minimum(x1, x2)[None, :] <= xhi[:, None])
+        & (np.maximum(y1, y2)[None, :] >= ylo[:, None])
+        & (np.minimum(y1, y2)[None, :] <= yhi[:, None])
+    )
+    dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
+
+    def side(cx, cy):
+        return dx * (cy - y1[None, :]) - dy * (cx - x1[None, :])
+
+    s1 = side(xlo[:, None], ylo[:, None])
+    s2 = side(xhi[:, None], ylo[:, None])
+    s3 = side(xlo[:, None], yhi[:, None])
+    s4 = side(xhi[:, None], yhi[:, None])
+    one_side = ((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)) | (
+        (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+    )
+    edge_hit = (bbox & ~one_side).any(axis=1)
+    cin = _point_in_ring((xlo + xhi) / 2.0, (ylo + yhi) / 2.0, px, py)
+    return vin | edge_hit | cin
+
+
+def _may_intersect_poly(
+    cells: np.ndarray, plat: np.ndarray, plng: np.ndarray
+) -> np.ndarray:
+    """Conservative (never-false-negative) cell-vs-polygon test: the
+    cell's expanded lat/lng hull rect (`_cell_hull`, a true superset of
+    the cell) against the closed ring, at longitude offsets -360/0/+360
+    so cells whose circular hull wraps the antimeridian still see the
+    ring. ``full``-longitude cells degrade to a latitude-band test."""
+    lat_min, lat_max, c_lo, span, full = _cell_hull(cells)
+    hit = full & (lat_min <= plat.max()) & (lat_max >= plat.min())
+    nf = ~full
+    if nf.any():
+        sub = np.flatnonzero(nf)
+        got = np.zeros(len(sub), dtype=bool)
+        for off in (-360.0, 0.0, 360.0):
+            got |= _rect_poly_intersect(
+                c_lo[sub],
+                c_lo[sub] + span[sub],
+                lat_min[sub],
+                lat_max[sub],
+                plng + off,
+                plat,
+            )
+        hit[sub] = got
+    return hit
+
+
+def polygon_covering(ring, level: int) -> np.ndarray:
+    """All cells at `level` that may intersect the simple polygon whose
+    outer ring is ``ring`` (sequence of (lat, lng) vertices, closed or
+    open) — a guaranteed superset of the cells intersecting it, with the
+    same fixed-level BFS-subdivide contract as ``rect_covering`` /
+    ``cap_covering``. The polygon boundary is interpreted PLANARLY in
+    lat/lng space (straight edges), matching a SQL ray-cast residual on
+    the same coordinates — the covering prunes, the residual filter is
+    what decides membership. Holes only shrink a region, so covering the
+    outer ring alone stays a superset. Antimeridian-crossing rings may
+    be given in continuous longitude (e.g. 170..190).
+
+    This closes the H3<->S2 asymmetry: the S2 analog of polyfill's
+    candidate generation (reference h3pandas/util/shapely.py:12-34),
+    feeding the same `s2_parent_int` covering joins and `merge_ranges`
+    manifest pruning as the rect/cap coverers."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    pts = list(ring)
+    if len(pts) < 3:
+        raise ValueError("polygon ring needs at least 3 vertices")
+    plat = np.asarray([p[0] for p in pts], dtype=np.float64)
+    plng = np.asarray([p[1] for p in pts], dtype=np.float64)
+    if not (np.abs(plat) <= 90.0).all():
+        raise ValueError("latitudes must be within [-90, 90]")
+    if plat[0] != plat[-1] or plng[0] != plng[-1]:
+        plat = np.append(plat, plat[0])
+        plng = np.append(plng, plng[0])
+    frontier = np.array(
+        [(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64
+    )
+    for _ in range(level):
+        keep = frontier[_may_intersect_poly(frontier, plat, plng)]
+        frontier = cell_to_children(keep)
+    return np.sort(frontier[_may_intersect_poly(frontier, plat, plng)])
 
 
 def merge_ranges(cells) -> tuple[np.ndarray, np.ndarray]:

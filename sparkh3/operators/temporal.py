@@ -48,6 +48,14 @@ def asof_join(
     100 TB shape: one exchange on the key + one window — the right
     side's values ride the same shuffle as the left rows (no broadcast
     needed, no range-join candidate blowup, no driver involvement).
+
+    Skew boundary (documented, by design): the carry window is ONE
+    partition per join key, so a single pathological key (10^9 rows on
+    one key) serializes into one task — the same shape as SQL engines'
+    ASOF implementations. Completion at ~10^6 rows/key is exercised by
+    tests/test_temporal.py::TestHotKey; for keys far beyond that,
+    pre-bucket by a coarse time range and carry each bucket's last right
+    row across the boundary, or thin the right side first.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how}")
@@ -139,7 +147,10 @@ def sessionize(
     logic ran on, kept so downstream session aggregates stay in exact
     integer arithmetic).
 
-    One window chain per key — no self-join, no UDF.
+    One window chain per key — no self-join, no UDF. Like asof_join,
+    the windows put one partition per key (see the skew-boundary note
+    there; hot-key completion exercised in
+    tests/test_temporal.py::TestHotKey).
     """
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")

@@ -26,11 +26,41 @@ STOPWORDS = {
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Widen narrow scans (e.g. a single parquet file) so per-doc compute
-    runs at full parallelism. No-op when the input is already wide — at
-    cluster scale the scan arrives pre-partitioned and this never fires."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    """Widen narrow file scans (e.g. a single parquet file) so per-doc
+    compute runs at full parallelism — WITHOUT touching ``df.rdd``
+    (which would force RDD conversion of the logical plan). The split
+    count is estimated from the scan's input files with Spark's own
+    FilePartition bin-packing arithmetic (maxPartitionBytes +
+    openCostInBytes). No-op when the scan is already wide or the frame
+    is not file-backed — at cluster scale the input arrives
+    pre-partitioned and this never fires."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    from ..plans.tuning import parse_mem
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    try:
+        total = sum(
+            os.path.getsize(urlparse(f).path or f) for f in files
+        )
+    except OSError:
+        return df
+    max_bytes = parse_mem(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    open_cost = parse_mem(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    est_splits = max(
+        1, math.ceil((total + len(files) * open_cost) / max_bytes)
+    )
+    if est_splits < par:
         return df.repartition(par)
     return df
 
@@ -159,19 +189,44 @@ def winnow_udf(window: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def f(hashes: pd.Series) -> pd.Series:
-        out: list = [None] * len(hashes)
-        for i, h in enumerate(hashes):
-            if h is None or len(h) == 0:
+        arrs = [
+            np.asarray(h, dtype=np.int64)
+            if h is not None and len(h) > 0
+            else None
+            for h in hashes
+        ]
+        res: list = [None] * len(arrs)
+        valid = [a for a in arrs if a is not None]
+        if not valid:
+            return pd.Series(res)
+        # ONE flattened pass over every document in the batch (the
+        # minhash concatenate+reduceat shape): all sliding-window minima
+        # computed at once; per-doc slices [start, start + len - window]
+        # never cross a document boundary by construction
+        flat = np.concatenate(valid)
+        lens = np.array([len(a) for a in valid], dtype=np.int64)
+        starts = np.zeros(len(valid), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        if len(flat) >= window:
+            wmin = np.lib.stride_tricks.sliding_window_view(
+                flat, window
+            ).min(axis=1)
+        else:
+            wmin = np.empty(0, dtype=np.int64)
+        gmin = np.minimum.reduceat(flat, starts)  # short-doc fallback
+        vi = 0
+        for i, a in enumerate(arrs):
+            if a is None:
                 continue
-            a = np.asarray(h, dtype=np.int64)
-            if len(a) <= window:
-                out[i] = [int(a.min())]
-                continue
-            mins = np.lib.stride_tricks.sliding_window_view(a, window).min(
-                axis=1
-            )
-            out[i] = np.unique(mins).tolist()
-        return pd.Series(out)
+            if lens[vi] <= window:
+                res[i] = [int(gmin[vi])]
+            else:
+                s = starts[vi]
+                res[i] = np.unique(
+                    wmin[s : s + lens[vi] - window + 1]
+                ).tolist()
+            vi += 1
+        return pd.Series(res)
 
     return f
 

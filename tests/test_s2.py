@@ -182,6 +182,51 @@ class TestCovering:
         plo, phi = s2.descendant_range(parent)
         assert len(lo) == 1 and lo[0] == plo[0] and hi[0] == phi[0]
 
+    def test_polygon_covering_is_superset_concave(self):
+        """polygon_covering's one hard contract (same as rect/cap):
+        every point inside the planar polygon has its level-L ancestor in
+        the covering — including a CONCAVE ring."""
+        arrow = [(0.0, 0.0), (10.0, 0.0), (5.0, 4.0), (10.0, 8.0), (0.0, 8.0)]
+        cov = s2.polygon_covering(arrow, 8)
+        assert (s2.get_level(cov) == 8).all()
+        plat = np.array([p[0] for p in arrow] + [arrow[0][0]])
+        plng = np.array([p[1] for p in arrow] + [arrow[0][1]])
+        rng = np.random.default_rng(7)
+        la = rng.uniform(0, 10, 30000)
+        lo = rng.uniform(0, 8, 30000)
+        ins = s2._point_in_ring(lo, la, plng, plat)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la[ins], lo[ins], 30), 8)
+        assert np.isin(par, cov).all()
+
+    def test_polygon_covering_rect_parity(self):
+        """A rect given as a 4-vertex ring must cover at least every cell
+        the dedicated rect coverer returns (same hull test, same BFS)."""
+        cov_p = s2.polygon_covering(
+            [(38.0, -77.0), (38.0, -71.0), (43.0, -71.0), (43.0, -77.0)], 7
+        )
+        cov_r = s2.rect_covering(38.0, 43.0, -77.0, -71.0, 7)
+        assert np.isin(cov_r, cov_p).all()
+
+    def test_polygon_covering_antimeridian(self):
+        """Ring in continuous longitude (170..190) covers points on both
+        sides of the wrap."""
+        quad = [(-15.0, 170.0), (-15.0, 190.0), (5.0, 190.0), (5.0, 170.0)]
+        cov = s2.polygon_covering(quad, 6)
+        rng = np.random.default_rng(9)
+        la = rng.uniform(-15, 5, 4000)
+        lo = rng.uniform(170, 190, 4000)
+        lo = np.where(lo > 180, lo - 360, lo)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), 6)
+        assert np.isin(par, cov).all()
+
+    def test_polygon_covering_bad_inputs(self):
+        with pytest.raises(ValueError, match="3 vertices"):
+            s2.polygon_covering([(0.0, 0.0), (1.0, 1.0)], 5)
+        with pytest.raises(ValueError, match="level"):
+            s2.polygon_covering([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)], 31)
+        with pytest.raises(ValueError, match="latitudes"):
+            s2.polygon_covering([(95.0, 0.0), (1.0, 0.0), (0.0, 1.0)], 5)
+
     def test_parent_level_guard(self):
         """Asking for a 'parent' FINER than the cell's own level must
         raise, not fabricate a descendant-positioned id."""

@@ -158,3 +158,54 @@ class TestEdgeUdfMixedRes:
         )
         for r in rows:
             assert r.e is not None and r.d2 == r.d
+
+
+class TestHotKey:
+    """The documented skew boundary of the one-partition-per-key window
+    construction: a single hot key holding ~10^6 rows must COMPLETE and
+    stay correct (it serializes into one task by design — these tests
+    pin that the shape degrades in wall-clock only, not in correctness)."""
+
+    def test_sessionize_hot_key_1m(self, spark):
+        n = 1_000_000
+        jump = 100_000
+        # one hot key; events 1s apart with a 1000s gap every `jump`
+        # rows -> exactly n/jump sessions of `jump` events each
+        e = (
+            spark.range(n)
+            .select(
+                F.lit(1).alias("user_id"),
+                F.timestamp_micros(
+                    (F.col("id") + (F.col("id") / jump).cast("long") * 1000)
+                    * 1_000_000
+                ).alias("ts"),
+            )
+        )
+        out = temporal.sessionize(e, key="user_id", ts_col="ts", gap_seconds=10)
+        agg = (
+            out.groupBy("session_seq")
+            .count()
+            .orderBy("session_seq")
+            .collect()
+        )
+        assert len(agg) == n // jump
+        assert all(r["count"] == jump for r in agg)
+
+    def test_asof_hot_key_500k(self, spark):
+        n = 500_000
+        left = spark.range(n).select(
+            F.col("id").alias("lid"),
+            F.lit(1).alias("k"),
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        )
+        right = spark.createDataFrame(
+            [(1, i * 100_000, float(i)) for i in range(5)],
+            "k long, sec long, v double",
+        ).select("k", F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"), "v")
+        out = temporal.asof_join(left, right, on="k", value_cols=["v"])
+        assert out.count() == n
+        # each left row matches the floor(sec/100k) right row
+        bad = out.filter(
+            F.col("v") != (F.col("lid") / 100_000).cast("long").cast("double")
+        ).count()
+        assert bad == 0
