@@ -412,6 +412,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# split-ladder bounds computed ONCE in Python and shared verbatim with
+# the SQL oracle: 0.8 + 0.1 is 0.9000000000000001 in binary64, and the
+# two engines must compare against the SAME literal or a row landing in
+# [0.9, 0.9000000000000001) flips splits between them
+_SPLIT_WEIGHTS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+_SPLIT_BOUNDS: list[tuple[str, float]] = []
+_acc = 0.0
+for _name, _w in _SPLIT_WEIGHTS[:-1]:
+    _acc += _w
+    _SPLIT_BOUNDS.append((_name, _acc))
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test corpus split, oracled on the
+    DECISIONS: per-(lang, split) counts plus a portable id fingerprint
+    (sum of doc_id mod 1000003) that only matches when every row landed
+    in the same split in both engines. Narrow map, zero shuffle before
+    the final small aggregate — the 100 TB split shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.stratified_split(
+        docs, dict(_SPLIT_WEIGHTS), id_col="doc_id", seed=7
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.pmod(F.col("doc_id"), F.lit(1000003))).alias("id_sum"),
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 token heavy hitters: explode -> partial-agg
+    (group, token) counts -> window over the aggregated counts only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.top_tokens_per_group(docs, "lang", "text", k=10)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-regex token counts (native regexp_count)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -955,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embed_neardup": q_embed_neardup,
         "token_stats": q_token_stats,
+        "stratified_split": q_stratified_split,
+        "top_tokens": q_top_tokens,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1149,6 +1186,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS n_tokens, "
             "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) "
             "AS n_tokens_bpe FROM documents"
+        ),
+        "stratified_split": (
+            # the SAME Knuth-hash integer arithmetic as det_hash01
+            # (seed 7), and the SAME Python-accumulated float bounds —
+            # the split DECISIONS are the oracled quantity (id fingerprint
+            # only matches if every row agrees)
+            "WITH s AS (SELECT lang, doc_id, "
+            "((((doc_id + 7) % 2147483648) * 2654435761) % 4294967296) "
+            "/ 4294967296.0 AS _u FROM documents) "
+            "SELECT lang, CASE "
+            + " ".join(
+                f"WHEN _u < {bound!r} THEN '{name}'"
+                for name, bound in _SPLIT_BOUNDS
+            )
+            + f" ELSE '{_SPLIT_WEIGHTS[-1][0]}' END AS split, "
+            "count(*) AS n_docs, "
+            "CAST(sum(doc_id % 1000003) AS BIGINT) AS id_sum "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "top_tokens": (
+            "WITH t AS (SELECT lang AS grp, "
+            "unnest(regexp_split_to_array(trim(text), ' +')) AS token "
+            "FROM documents), "
+            "c AS (SELECT grp, token, count(*) AS n FROM t "
+            "WHERE length(token) > 0 GROUP BY 1, 2), "
+            "r AS (SELECT grp, token, n, row_number() OVER "
+            "(PARTITION BY grp ORDER BY n DESC, token ASC) AS rank FROM c) "
+            "SELECT grp, token, CAST(n AS BIGINT) AS n, rank "
+            "FROM r WHERE rank <= 10"
         ),
         "embed_neardup": (
             "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -623,6 +623,76 @@ def quota_sample(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus split (train/valid/test/...): each row lands
+    in the split whose cumulative-weight interval contains its Knuth-hash
+    coordinate. Adds ``split``. Reproducible on any cluster/run (no RNG
+    state), and the DECISION is portable integer arithmetic, so the
+    per-row assignments — not just the counts — carry an exact SQL
+    oracle. Per-stratum proportions hold for free because the hash is
+    uniform inside every stratum.
+
+    100 TB shape: a narrow map over an integer id — no shuffle, no
+    sort, pushes down with the scan. ``id_col`` must be integer-valued
+    (cast/extract upstream for string ids)."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: fraction} dict")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = det_hash01(F.col(id_col), seed)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split takes the top of the ladder
+    acc = 0.0
+    conds = []
+    for name in names[:-1]:
+        acc += weights[name]
+        conds.append((name, acc))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def top_tokens_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Per-group top-k tokens by frequency (vocabulary heavy hitters).
+    Output (grp, token, n, rank), deterministic tie-break (count desc,
+    token asc).
+
+    100 TB shape: explode -> (group, token) hash aggregate — Spark's
+    partial aggregation combines map-side, so the shuffle carries one
+    row per distinct (group, token), not the raw token stream; the
+    top-k window then runs over the already-aggregated counts."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("grp", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_budget: int,

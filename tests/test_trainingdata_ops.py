@@ -114,6 +114,78 @@ class TestMinHashSimHash:
         assert all(4 not in p for p in got)
 
 
+class TestStratifiedSplit:
+    def test_deterministic_and_complete(self, spark):
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+        )
+        w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+        a = textops.stratified_split(df, w, id_col="doc_id", seed=7)
+        b = textops.stratified_split(df, w, id_col="doc_id", seed=7)
+        rows_a = {r.doc_id: r.split for r in a.collect()}
+        rows_b = {r.doc_id: r.split for r in b.collect()}
+        assert rows_a == rows_b  # deterministic
+        assert len(rows_a) == 2000  # total function: every row labeled
+        counts = a.groupBy("split").count().collect()
+        got = {r.split: r["count"] for r in counts}
+        assert set(got) == {"train", "valid", "test"}
+        # proportions within a loose tolerance of the weights
+        assert abs(got["train"] / 2000 - 0.8) < 0.05
+        # a different seed moves rows
+        c = textops.stratified_split(df, w, id_col="doc_id", seed=8)
+        rows_c = {r.doc_id: r.split for r in c.collect()}
+        assert rows_c != rows_a
+
+    def test_per_stratum_proportions(self, spark):
+        df = spark.range(6000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("string").alias("lang"),
+        )
+        out = textops.stratified_split(
+            df, {"train": 0.5, "test": 0.5}, id_col="doc_id"
+        )
+        per = {
+            (r.lang, r.split): r["count"]
+            for r in out.groupBy("lang", "split").count().collect()
+        }
+        for lang in ("0", "1"):
+            assert abs(per[(lang, "train")] / 3000 - 0.5) < 0.05
+
+    def test_validation(self, spark):
+        df = spark.range(10).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError, match="sum to 1"):
+            textops.stratified_split(df, {"a": 0.5, "b": 0.2})
+        with pytest.raises(ValueError, match="positive"):
+            textops.stratified_split(df, {"a": 1.5, "b": -0.5})
+        with pytest.raises(ValueError, match="non-empty"):
+            textops.stratified_split(df, {})
+
+
+class TestTopTokens:
+    def test_counts_and_ranks(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, lang="en", text="a a a b b c"),
+                Row(doc_id=2, lang="en", text="b c c"),
+                Row(doc_id=3, lang="fr", text="x y"),
+            ]
+        )
+        got = {
+            (r.grp, r.rank): (r.token, r.n)
+            for r in textops.top_tokens_per_group(
+                df, "lang", "text", k=2
+            ).collect()
+        }
+        # en: a=3, b=3 (tie -> token asc), c=3? c appears 1+2=3 — all
+        # tie at 3; top-2 lexicographic: a then b
+        assert got[("en", 1)] == ("a", 3)
+        assert got[("en", 2)] == ("b", 3)
+        assert got[("fr", 1)] == ("x", 1)
+        with pytest.raises(ValueError, match="positive"):
+            textops.top_tokens_per_group(df, k=0)
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
