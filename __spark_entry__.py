@@ -447,6 +447,52 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.top_tokens_per_group(docs, "lang", "text", k=10)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing lane: deterministic PII-shaped spans (emails on
+    doc_id%3==0, long digit runs on doc_id%5==0) are appended to the
+    text IDENTICALLY in both engines, then redacted with the shared
+    sequential pattern order. Fully native regex — no UDF, no
+    shuffle before the final small aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" ref 1234567890")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = textops.scrub_pii(seeded)
+    return out.select(
+        "doc_id",
+        "n_redactions",
+        F.length("scrubbed").alias("scrubbed_len"),
+        F.regexp_count("scrubbed", F.lit("<PII>")).alias("n_tags"),
+    )
+
+
+def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate coverage: per-language exact distinct source /
+    length-class counts (Spark expands count(DISTINCT) into a two-phase
+    aggregate — the approx_count_distinct sketch is the 100 TB default,
+    property-tested against this exact path in pytest)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("n_chars").alias("n_len_classes"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-regex token counts (native regexp_count)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -992,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "stratified_split": q_stratified_split,
         "top_tokens": q_top_tokens,
+        "pii_scrub": q_pii_scrub,
+        "distinct_stats": q_distinct_stats,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1204,6 +1252,34 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_docs, "
             "CAST(sum(doc_id % 1000003) AS BIGINT) AS id_sum "
             "FROM s GROUP BY 1, 2"
+        ),
+        "pii_scrub": (
+            # the SAME seeding arithmetic and the SAME patterns in the
+            # SAME order as textops.scrub_pii (patterns interpolated from
+            # the shared PII_PATTERNS constants — RE2/Java-compatible
+            # classes, no escapes that differ between engines)
+            "WITH seeded AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+            "cast(doc_id as varchar) || '@example.com' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' ref 1234567890' ELSE '' END "
+            "AS text FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{textops.PII_PATTERNS[0][1]}')) AS c1, "
+            f"regexp_replace(text, '{textops.PII_PATTERNS[0][1]}', '<PII>', 'g') AS t1 "
+            "FROM seeded), "
+            "s2 AS (SELECT doc_id, "
+            f"c1 + len(regexp_extract_all(t1, '{textops.PII_PATTERNS[1][1]}')) "
+            "AS n_redactions, "
+            f"regexp_replace(t1, '{textops.PII_PATTERNS[1][1]}', '<PII>', 'g') AS t2 "
+            "FROM s1) "
+            "SELECT doc_id, CAST(n_redactions AS BIGINT) AS n_redactions, "
+            "length(t2) AS scrubbed_len, "
+            "len(regexp_extract_all(t2, '<PII>')) AS n_tags FROM s2"
+        ),
+        "distinct_stats": (
+            "SELECT lang, count(DISTINCT source) AS n_sources, "
+            "count(DISTINCT n_chars) AS n_len_classes, "
+            "count(*) AS n_docs FROM documents GROUP BY lang"
         ),
         "top_tokens": (
             "WITH t AS (SELECT lang AS grp, "

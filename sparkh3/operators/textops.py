@@ -623,6 +623,35 @@ def quota_sample(
     )
 
 
+# PII-shaped span patterns, scrubbed in ORDER (emails first so their
+# digit runs never double-count as bare numbers). Deliberately simple
+# character classes — identical semantics in Java regex and RE2/DuckDB.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"),
+    ("number", r"[0-9][0-9][0-9][0-9][0-9][0-9]+"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    repl: str = "<PII>",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, >=6-digit runs) with native
+    regexp_replace/regexp_count ONLY — fully JVM-side, no UDF, and the
+    exact pattern/order semantics replicate in SQL for the oracle. Adds
+    ``n_redactions`` and ``scrubbed``; patterns apply sequentially, each
+    counting on the PREVIOUS pattern's output so overlapping classes
+    never double-count. Narrow map: the 100 TB scrub is shuffle-free."""
+    cur = F.col(text_col)
+    n = F.lit(0)
+    for _, pat in patterns or PII_PATTERNS:
+        n = n + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumn("n_redactions", n).withColumn("scrubbed", cur)
+
+
 def stratified_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -103,6 +103,37 @@ def test_lsh_ann_single_signature_pass(spark):
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
 
 
+def test_stratified_split_is_narrow_map(spark):
+    """The split assignment itself must be a zero-shuffle narrow map —
+    the 100 TB claim in textops.stratified_split."""
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    out = textops.stratified_split(df, {"a": 0.5, "b": 0.5})
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_top_tokens_aggregates_map_side(spark):
+    """The token-count shuffle must carry partially-aggregated
+    (group, token) rows, not the raw exploded token stream."""
+    docs = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(50)],
+        "doc_id long, lang string, text string",
+    )
+    out = textops.top_tokens_per_group(docs, "lang", "text", k=3)
+    plan = _plan(out)
+    assert "partial_count" in plan, plan
+
+
+def test_s2_pip_count_point_side_never_shuffles(spark):
+    """The polygon-covering join broadcasts the covering; the only hash
+    exchange in the whole query is the final tiny per-polygon count."""
+    q = E.q_s2_pip_count(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_bm25_single_tokenize_pass_via_exchange_reuse(spark):
     """BM25 derives doc lengths and corpus stats from the tf aggregate:
     under AQE the tf exchange is reused at runtime, so the corpus is

@@ -162,6 +162,55 @@ class TestStratifiedSplit:
             textops.stratified_split(df, {})
 
 
+class TestScrubPii:
+    def test_redaction_order_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="mail a.b@x.io and num 1234567 ok"),
+                Row(doc_id=2, text="clean text"),
+                Row(doc_id=3, text="two mails p@q.com r@s.org"),
+                Row(doc_id=4, text="short 12345 digits stay"),
+            ]
+        )
+        got = {r.doc_id: r for r in textops.scrub_pii(df).collect()}
+        assert got[1].n_redactions == 2
+        assert "<PII>" in got[1].scrubbed and "a.b@x.io" not in got[1].scrubbed
+        assert "1234567" not in got[1].scrubbed
+        assert got[2].n_redactions == 0 and got[2].scrubbed == "clean text"
+        assert got[3].n_redactions == 2
+        # 5-digit run is below the >=6 threshold — untouched
+        assert got[4].n_redactions == 0 and "12345" in got[4].scrubbed
+
+    def test_email_digits_not_double_counted(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="user1234567@example.com")]
+        )
+        got = textops.scrub_pii(df).collect()[0]
+        # the email (digits included) redacts as ONE span: the number
+        # pattern runs on the already-scrubbed text
+        assert got.n_redactions == 1
+
+
+class TestDistinctAgg:
+    def test_approx_tracks_exact(self, docs):
+        """approx_count_distinct (the mergeable 100 TB sketch) stays
+        within its documented error of the exact distinct path."""
+        exact = {
+            r.lang: r.n
+            for r in docs.groupBy("lang")
+            .agg(F.countDistinct("source").alias("n"))
+            .collect()
+        }
+        approx = {
+            r.lang: r.n
+            for r in docs.groupBy("lang")
+            .agg(F.approx_count_distinct("source", 0.02).alias("n"))
+            .collect()
+        }
+        for lang, n in exact.items():
+            assert abs(approx[lang] - n) <= max(1, 0.05 * n)
+
+
 class TestTopTokens:
     def test_counts_and_ranks(self, spark):
         df = spark.createDataFrame(
