@@ -412,16 +412,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# split-ladder bounds computed ONCE in Python and shared verbatim with
-# the SQL oracle: 0.8 + 0.1 is 0.9000000000000001 in binary64, and the
-# two engines must compare against the SAME literal or a row landing in
-# [0.9, 0.9000000000000001) flips splits between them
+# split-ladder bounds come from textops.split_bounds — the SAME helper
+# stratified_split uses, so the Spark ladder and the SQL literal ladder
+# are one accumulation, not two that must be kept bit-identical by hand
 _SPLIT_WEIGHTS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
-_SPLIT_BOUNDS: list[tuple[str, float]] = []
-_acc = 0.0
-for _name, _w in _SPLIT_WEIGHTS[:-1]:
-    _acc += _w
-    _SPLIT_BOUNDS.append((_name, _acc))
+_SPLIT_BOUNDS = textops.split_bounds(dict(_SPLIT_WEIGHTS))
 
 
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:

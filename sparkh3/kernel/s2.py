@@ -187,7 +187,9 @@ def latlng_to_cell(lat, lng, level: int) -> np.ndarray:
         np.floor(_uv_to_st(v) * (1 << MAX_LEVEL)), 0, float(lim)
     ).astype(np.uint64)
     leaf = _from_face_ij(face, i, j)
-    return cell_to_parent(leaf, level) if level < MAX_LEVEL else leaf
+    # leaves are level 30 by construction — the public guard's
+    # per-element level scan is pure overhead on this hot encode path
+    return _parent_bits(leaf, level) if level < MAX_LEVEL else leaf
 
 
 def cell_to_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
@@ -243,6 +245,12 @@ def cell_to_parent(cell, level: int) -> np.ndarray:
             f"cell_to_parent: level {level} is finer than some input "
             f"cells' own level (min level present: {int(lev.min())})"
         )
+    return _parent_bits(cell, level)
+
+
+def _parent_bits(cell: np.ndarray, level: int) -> np.ndarray:
+    """The unchecked ancestor bit math — internal hot-path form
+    (callers guarantee level <= every cell's level)."""
     nl = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
     return (cell & ~(np.uint64(2) * nl - np.uint64(1))) | nl
 

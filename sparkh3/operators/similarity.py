@@ -267,9 +267,12 @@ def ivf_cosine_topk(
         cb = _ivf_load_codebook(table_root)
         centroids = cb["centroids"]
         q_assign = _ivf_assign_udf(centroids, n_probe)
+        # persist: the assignment UDF output feeds BOTH the probe-set
+        # collect and the broadcast join — without it the whole query
+        # scan + assignment would run twice
         q_l = q.select(
             "_qid", "_qv", F.explode(q_assign(F.col("_qv"))).alias("_list")
-        )
+        ).persist()
         # the probe set is <= n_lists small ints (codebook-sized — the
         # driver already holds the codebook by design)
         probe = [r[0] for r in q_l.select("_list").distinct().collect()]
@@ -279,6 +282,11 @@ def ivf_cosine_topk(
             "_list",
         )
     else:
+        if corpus is None:
+            raise ValueError(
+                "ivf_cosine_topk needs either a corpus DataFrame or "
+                "table_root (a corpus written by ivf_write_corpus)"
+            )
         if centroids is None:
             centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
         c = corpus.select(

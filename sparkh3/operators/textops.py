@@ -44,12 +44,21 @@ def _spread(df: DataFrame) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
     if not files:
+        # not file-backed (createDataFrame / joined inputs): these are
+        # the small in-memory frames where the RDD conversion the
+        # file-size path avoids is cheap — keep the original check so a
+        # narrow frame still widens
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
         return df
     try:
         total = sum(
             os.path.getsize(urlparse(f).path or f) for f in files
         )
     except OSError:
+        # remote store (s3://, hdfs://...) — sizes not locally
+        # statable; at that scale scans arrive pre-split, so treat as
+        # wide rather than force an RDD conversion
         return df
     max_bytes = parse_mem(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
@@ -652,6 +661,29 @@ def scrub_pii(
     return df.withColumn("n_redactions", n).withColumn("scrubbed", cur)
 
 
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, float]]:
+    """The cumulative-weight ladder [(name, upper_bound), ...] for every
+    split but the last — THE single source of the float accumulation
+    order. Both stratified_split and any SQL oracle must take bounds
+    from here: 0.8 + 0.1 is 0.9000000000000001 in binary64, and two
+    independently-accumulated ladders would flip rows landing exactly
+    in the gap between differently-rounded bounds."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: fraction} dict")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    names = list(weights)
+    out: list[tuple[str, float]] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        out.append((name, acc))
+    return out
+
+
 def stratified_split(
     df: DataFrame,
     weights: dict[str, float],
@@ -669,22 +701,10 @@ def stratified_split(
     100 TB shape: a narrow map over an integer id — no shuffle, no
     sort, pushes down with the scan. ``id_col`` must be integer-valued
     (cast/extract upstream for string ids)."""
-    if not weights:
-        raise ValueError("weights must be a non-empty {name: fraction} dict")
-    if any(w <= 0 for w in weights.values()):
-        raise ValueError(f"weights must be positive, got {weights}")
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"weights must sum to 1, got {total}")
+    bounds = split_bounds(weights)  # validates; shared with SQL twins
     u = det_hash01(F.col(id_col), seed)
-    names = list(weights)
-    expr = F.lit(names[-1])  # last split takes the top of the ladder
-    acc = 0.0
-    conds = []
-    for name in names[:-1]:
-        acc += weights[name]
-        conds.append((name, acc))
-    for name, bound in reversed(conds):
+    expr = F.lit(list(weights)[-1])  # last split takes the ladder top
+    for name, bound in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
 
