@@ -475,6 +475,30 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token chunks, 16 overlap) — the
+    chunk TEXTS themselves are oracled, not just counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture reweighting to a target language mix —
+    per-row accept DECISIONS oracled via the id fingerprint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.mixture_sample(
+        docs, _MIX_TARGETS, group_col="lang", id_col="doc_id", seed=11
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.pmod(F.col("doc_id"), F.lit(1000003))).alias("id_sum"),
+    )
+
+
 def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-aggregate coverage: per-language exact distinct source /
     length-class counts (Spark expands count(DISTINCT) into a two-phase
@@ -1035,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "pii_scrub": q_pii_scrub,
         "distinct_stats": q_distinct_stats,
+        "chunk_docs": q_chunk_docs,
+        "mixture_sample": q_mixture_sample,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1275,6 +1301,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(DISTINCT source) AS n_sources, "
             "count(DISTINCT n_chars) AS n_len_classes, "
             "count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "chunk_docs": (
+            # chunk_tokens=64, overlap=16, stride=48 — same slice
+            # arithmetic as textops.chunk_documents
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), ' +') AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+            "c AS (SELECT doc_id, toks, "
+            "greatest(CAST(ceil((n - 16) / 48.0) AS BIGINT), 1) AS nc FROM n), "
+            "e AS (SELECT doc_id, toks, "
+            "unnest(generate_series(0, nc - 1)) AS chunk_id FROM c) "
+            "SELECT doc_id, chunk_id, "
+            "array_to_string(list_slice(toks, chunk_id * 48 + 1, "
+            "chunk_id * 48 + 64), ' ') AS chunk_text, "
+            "len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) "
+            "AS n_chunk_tokens FROM e"
+        ),
+        "mixture_sample": (
+            # the SAME rate arithmetic as textops.mixture_sample
+            # (rate = target * min(n/target) / n, least-clamped) and the
+            # SAME Knuth-hash accept decision (seed 11)
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+            "t AS (SELECT lang, n, CASE lang "
+            + " ".join(
+                f"WHEN '{g}' THEN {w!r}" for g, w in _MIX_TARGETS.items()
+            )
+            + " END AS tgt FROM c), "
+            "m AS (SELECT lang, n, tgt, MIN(n / tgt) OVER () AS nmin "
+            "FROM t WHERE tgt IS NOT NULL), "
+            "r AS (SELECT lang, least(1.0, tgt * nmin / n) AS rate FROM m), "
+            "s AS (SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN r USING (lang) WHERE "
+            "((((doc_id + 11) % 2147483648) * 2654435761) % 4294967296) "
+            "/ 4294967296.0 < r.rate) "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(doc_id % 1000003) AS BIGINT) AS id_sum "
+            "FROM s GROUP BY lang"
         ),
         "top_tokens": (
             "WITH t AS (SELECT lang AS grp, "

@@ -742,6 +742,99 @@ def top_tokens_per_group(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token context-window chunks with
+    ``overlap`` tokens of lookback (the training-prep chunker). Output:
+    one row per (doc, chunk) with ``chunk_id``, ``chunk_text``,
+    ``n_chunk_tokens``. Every document yields >= 1 chunk; the last
+    chunk may be short.
+
+    100 TB shape: fully native — tokenize once, fan out via
+    explode(sequence), slice the token array per chunk. No UDF, no
+    shuffle; the fan-out is the only cost and is bounded by
+    total_tokens / (chunk_tokens - overlap)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(stride))),
+        F.lit(1).cast("long"),
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .withColumn("chunk_text", F.concat_ws(" ", sliced))
+        .withColumn("n_chunk_tokens", F.size(sliced))
+        .drop("_toks")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic mixture reweighting: down-sample groups so the
+    surviving corpus matches the ``targets`` proportions while keeping
+    as many rows as feasible — the binding group (smallest n_g/target_g)
+    keeps everything, every other group accepts at
+    rate_g = target_g * N / n_g with N = min_g(n_g / target_g), decided
+    per row by the portable Knuth hash (exact SQL oracle on the
+    DECISIONS). Rows whose group is absent from ``targets`` drop.
+
+    100 TB shape: one count aggregate (|groups| rows) + a broadcast of
+    the per-group rates; the accept test is a narrow map."""
+    if not targets:
+        raise ValueError("targets must be a non-empty {group: share} dict")
+    if any(t <= 0 for t in targets.values()):
+        raise ValueError(f"targets must be positive, got {targets}")
+    if abs(sum(targets.values()) - 1.0) > 1e-9:
+        raise ValueError(f"targets must sum to 1, got {sum(targets.values())}")
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    rated = counts.withColumn("_t", tmap[F.col(group_col)]).filter(
+        F.col("_t").isNotNull()
+    )
+    nmin = rated.agg(F.min(F.col("_n") / F.col("_t")).alias("_nmin"))
+    rates = (
+        rated.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0), F.col("_t") * F.col("_nmin") / F.col("_n")
+            ),
+        )
+        .select(group_col, "_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(det_hash01(F.col(id_col), seed) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_budget: int,

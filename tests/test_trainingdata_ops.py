@@ -162,6 +162,74 @@ class TestStratifiedSplit:
             textops.stratified_split(df, {})
 
 
+class TestChunking:
+    def test_coverage_and_overlap(self, spark):
+        text = " ".join(str(i) for i in range(100))  # tokens "0".."99"
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        rows = sorted(
+            textops.chunk_documents(df, chunk_tokens=64, overlap=16).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # ceil((100-16)/48) = 2 chunks
+        assert [r.chunk_id for r in rows] == [0, 1]
+        c0 = rows[0].chunk_text.split(" ")
+        c1 = rows[1].chunk_text.split(" ")
+        assert c0 == [str(i) for i in range(64)]
+        assert c1 == [str(i) for i in range(48, 100)]
+        # overlap region is shared verbatim
+        assert c0[-16:] == c1[: 64 - 48]
+        assert rows[0].n_chunk_tokens == 64 and rows[1].n_chunk_tokens == 52
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        rows = textops.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "a b c" and rows[0].n_chunk_tokens == 3
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a")])
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            textops.chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            textops.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+class TestMixtureSample:
+    def test_proportions_and_binding_group(self, docs):
+        targets = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+        before = {
+            r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+        }
+        out = textops.mixture_sample(docs, targets, seed=11)
+        after = {
+            r.lang: r["count"] for r in out.groupBy("lang").count().collect()
+        }
+        n_bind = min(before[g] / t for g, t in targets.items())
+        # the binding group keeps everything
+        bind = min(targets, key=lambda g: before[g] / targets[g])
+        assert after[bind] == before[bind]
+        # every group's survivor count tracks its target share of the
+        # feasible total (hash-thinning noise only)
+        for g, t in targets.items():
+            assert abs(after[g] - t * n_bind) <= max(5, 0.25 * t * n_bind)
+        # deterministic
+        again = {
+            r.lang: r["count"]
+            for r in textops.mixture_sample(docs, targets, seed=11)
+            .groupBy("lang")
+            .count()
+            .collect()
+        }
+        assert again == after
+
+    def test_unknown_groups_drop_and_validation(self, docs):
+        out = textops.mixture_sample(docs, {"en": 0.6, "fr": 0.4}, seed=1)
+        langs = {r.lang for r in out.select("lang").distinct().collect()}
+        assert langs <= {"en", "fr"}
+        with pytest.raises(ValueError, match="sum to 1"):
+            textops.mixture_sample(docs, {"en": 0.5})
+
+
 class TestScrubPii:
     def test_redaction_order_and_counts(self, spark):
         df = spark.createDataFrame(
