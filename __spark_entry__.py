@@ -499,6 +499,20 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicated 2/3-gram
+    fractions per document (native array algebra, shuffle-free)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_2grams",
+        "dup_2gram_ratio",
+        "n_3grams",
+        "dup_3gram_ratio",
+    )
+
+
 def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-aggregate coverage: per-language exact distinct source /
     length-class counts (Spark expands count(DISTINCT) into a two-phase
@@ -1061,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": q_distinct_stats,
         "chunk_docs": q_chunk_docs,
         "mixture_sample": q_mixture_sample,
+        "repetition": q_repetition,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1301,6 +1316,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(DISTINCT source) AS n_sources, "
             "count(DISTINCT n_chars) AS n_len_classes, "
             "count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "repetition": (
+            # n-gram construction mirrors textops.ngrams exactly:
+            # greatest(len-n, 0)+1 grams, short docs yield ONE truncated
+            # gram (DuckDB list slices are 1-based inclusive)
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), ' +') AS toks FROM documents), "
+            "g AS (SELECT doc_id, "
+            "list_transform(range(1, greatest(len(toks) - 2, 0) + 2), "
+            "i -> array_to_string(toks[i : i + 1], ' ')) AS g2, "
+            "list_transform(range(1, greatest(len(toks) - 3, 0) + 2), "
+            "i -> array_to_string(toks[i : i + 2], ' ')) AS g3 FROM t) "
+            "SELECT doc_id, len(g2) AS n_2grams, "
+            "round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6) "
+            "AS dup_2gram_ratio, "
+            "len(g3) AS n_3grams, "
+            "round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6) "
+            "AS dup_3gram_ratio FROM g"
         ),
         "chunk_docs": (
             # chunk_tokens=64, overlap=16, stride=48 — same slice

@@ -185,6 +185,26 @@ def ngrams(text: Column, n: int) -> Column:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: the fraction of duplicated word
+    n-grams per document (n = 2, 3) — high values flag boilerplate and
+    machine-looped text. Adds ``n_{n}grams`` and ``dup_{n}gram_ratio``.
+    Pure native array algebra (one tokenize, shared subexpressions) —
+    a shuffle-free narrow map at any scale."""
+    out = df
+    for n in (2, 3):
+        g = ngrams(F.col(text_col), n)
+        out = out.withColumn(f"n_{n}grams", F.size(g)).withColumn(
+            f"dup_{n}gram_ratio",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+                6,
+            ),
+        )
+    return out
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint (native xxhash64)."""
     return df.withColumn("fingerprint", F.xxhash64(F.col(text_col)))

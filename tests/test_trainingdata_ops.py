@@ -162,6 +162,25 @@ class TestStratifiedSplit:
             textops.stratified_split(df, {})
 
 
+class TestRepetition:
+    def test_dup_ngram_ratios(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b a b a"),  # 2-grams: ab ba ab ba
+                Row(doc_id=2, text="x y z"),
+                Row(doc_id=3, text="w"),  # short doc: one degenerate gram
+            ]
+        )
+        got = {r.doc_id: r for r in textops.repetition_stats(df).collect()}
+        assert got[1].n_2grams == 4
+        assert abs(got[1].dup_2gram_ratio - 0.5) < 1e-9
+        assert got[2].n_2grams == 2 and got[2].dup_2gram_ratio == 0.0
+        assert got[3].n_2grams == 1 and got[3].dup_2gram_ratio == 0.0
+        # 3-grams of doc 1: "a b a","b a b","a b a" -> 3 grams, 2 uniq
+        assert got[1].n_3grams == 3
+        assert abs(got[1].dup_3gram_ratio - (1 - 2 / 3)) < 1e-6
+
+
 class TestChunking:
     def test_coverage_and_overlap(self, spark):
         text = " ".join(str(i) for i in range(100))  # tokens "0".."99"
