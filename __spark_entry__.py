@@ -274,13 +274,23 @@ def q_s2_rect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     level = 7
     rows = []
     for name, y0, y1, x0, x1 in _RECTS:
-        for c in s2k.rect_covering(y0, y1, x0, x1, level).view(np.int64):
+        cells, interior = s2k.rect_covering_classified(y0, y1, x0, x1, level)
+        for c, isin in zip(cells.view(np.int64), interior):
             rows.append(
-                (name, int(c), float(y0), float(y1), float(x0), float(x1))
+                (
+                    name,
+                    int(c),
+                    bool(isin),
+                    float(y0),
+                    float(y1),
+                    float(x0),
+                    float(x1),
+                )
             )
     cov = spark.createDataFrame(
         rows,
-        "rect string, s2_07 long, y0 double, y1 double, x0 double, x1 double",
+        "rect string, s2_07 long, _interior boolean, "
+        "y0 double, y1 double, x0 double, x1 double",
     )
     pts = _docs_points(spark, sf_dir)
     enc = pts.withColumn(
@@ -289,11 +299,16 @@ def q_s2_rect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             H3F.latlng_to_s2_udf(14)(F.col("lat"), F.col("lng")), level
         ),
     )
+    # interior cells are PROVEN inside (kernel classification) — only
+    # boundary cells pay the exact residual; results identical
     exact = enc.join(F.broadcast(cov), "s2_07").filter(
-        (F.col("lat") >= F.col("y0"))
-        & (F.col("lat") <= F.col("y1"))
-        & (F.col("lng") >= F.col("x0"))
-        & (F.col("lng") <= F.col("x1"))
+        F.col("_interior")
+        | (
+            (F.col("lat") >= F.col("y0"))
+            & (F.col("lat") <= F.col("y1"))
+            & (F.col("lng") >= F.col("x0"))
+            & (F.col("lng") <= F.col("x1"))
+        )
     )
     return exact.groupBy("rect").agg(F.count("*").alias("n_docs"))
 
@@ -355,9 +370,12 @@ def q_s2_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     level = 7
     rows = []
     for name, verts in _PIP_POLYS:
-        for c in s2k.polygon_covering(verts, level).view(np.int64):
-            rows.append((name, int(c)))
-    cov = spark.createDataFrame(rows, "poly string, s2_07 long")
+        cells, interior = s2k.polygon_covering_classified(verts, level)
+        for c, isin in zip(cells.view(np.int64), interior):
+            rows.append((name, int(c), bool(isin)))
+    cov = spark.createDataFrame(
+        rows, "poly string, s2_07 long, _interior boolean"
+    )
     pts = _docs_points(spark, sf_dir)
     enc = pts.withColumn(
         "s2_07",
@@ -381,7 +399,13 @@ def q_s2_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(0.0)
             )
         pred = cond if pred is None else (pred | cond)
-    return cand.filter(pred).groupBy("poly").agg(F.count("*").alias("n_docs"))
+    # interior cells (kernel-proven inside) bypass the half-plane
+    # residual — only boundary cells evaluate it; results identical
+    return (
+        cand.filter(F.col("_interior") | pred)
+        .groupBy("poly")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:

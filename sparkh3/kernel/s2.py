@@ -582,6 +582,93 @@ def polygon_covering(ring, level: int) -> np.ndarray:
     return np.sort(frontier[_may_intersect_poly(frontier, plat, plng)])
 
 
+def rect_covering_classified(
+    lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``rect_covering`` plus an interior mask: True for cells PROVEN
+    fully inside the rect (their conservative hull — a superset of the
+    cell — is contained in it). Callers skip the exact residual filter
+    on interior cells; only boundary cells pay it. At scale the interior
+    dominates a region's area, so the residual cost shrinks from
+    O(all rows in region) to O(rows in boundary cells).
+
+    Wrap rects (lng_lo > lng_hi) return an all-False mask (conservative:
+    everything treated as boundary)."""
+    cov = rect_covering(lat_lo, lat_hi, lng_lo, lng_hi, level)
+    if lng_lo > lng_hi:
+        return cov, np.zeros(len(cov), dtype=bool)
+    lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
+    inside_lat = (lat_min >= lat_lo) & (lat_max <= lat_hi)
+    off = np.mod(c_lo - lng_lo, 360.0)
+    inside_lng = (~full) & (off + span <= (lng_hi - lng_lo))
+    return cov, inside_lat & inside_lng
+
+
+def _rect_inside_poly(
+    xlo: np.ndarray,
+    xhi: np.ndarray,
+    ylo: np.ndarray,
+    yhi: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+) -> np.ndarray:
+    """Vectorized exact planar test: per-cell rect FULLY inside the
+    closed ring — one corner inside AND no ring edge touches the rect
+    (same SAT machinery as `_rect_poly_intersect`)."""
+    corner_in = _point_in_ring(xlo, ylo, px, py)
+    x1, y1 = px[:-1], py[:-1]
+    x2, y2 = px[1:], py[1:]
+    bbox = (
+        (np.maximum(x1, x2)[None, :] >= xlo[:, None])
+        & (np.minimum(x1, x2)[None, :] <= xhi[:, None])
+        & (np.maximum(y1, y2)[None, :] >= ylo[:, None])
+        & (np.minimum(y1, y2)[None, :] <= yhi[:, None])
+    )
+    dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
+
+    def side(cx, cy):
+        return dx * (cy - y1[None, :]) - dy * (cx - x1[None, :])
+
+    s1 = side(xlo[:, None], ylo[:, None])
+    s2 = side(xhi[:, None], ylo[:, None])
+    s3 = side(xlo[:, None], yhi[:, None])
+    s4 = side(xhi[:, None], yhi[:, None])
+    one_side = ((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)) | (
+        (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+    )
+    edge_hit = (bbox & ~one_side).any(axis=1)
+    return corner_in & ~edge_hit
+
+
+def polygon_covering_classified(
+    ring, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``polygon_covering`` plus an interior mask (cell's conservative
+    hull proven fully inside the planar ring at some ±360 longitude
+    offset) — same skip-the-residual contract as
+    ``rect_covering_classified``."""
+    cov = polygon_covering(ring, level)
+    pts = list(ring)
+    plat = np.asarray([p[0] for p in pts], dtype=np.float64)
+    plng = np.asarray([p[1] for p in pts], dtype=np.float64)
+    if plat[0] != plat[-1] or plng[0] != plng[-1]:
+        plat = np.append(plat, plat[0])
+        plng = np.append(plng, plng[0])
+    lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
+    interior = np.zeros(len(cov), dtype=bool)
+    nf = np.flatnonzero(~full)
+    for off in (-360.0, 0.0, 360.0):
+        interior[nf] |= _rect_inside_poly(
+            c_lo[nf],
+            c_lo[nf] + span[nf],
+            lat_min[nf],
+            lat_max[nf],
+            plng + off,
+            plat,
+        )
+    return cov, interior
+
+
 def merge_ranges(cells) -> tuple[np.ndarray, np.ndarray]:
     """Covering cells -> minimal sorted disjoint [leaf_min, leaf_max]
     id ranges (adjacent/overlapping ranges coalesced) — the containment

@@ -227,6 +227,52 @@ class TestCovering:
         with pytest.raises(ValueError, match="latitudes"):
             s2.polygon_covering([(95.0, 0.0), (1.0, 0.0), (0.0, 1.0)], 5)
 
+    def test_classified_rect_interior(self):
+        """Interior cells (hull proven inside) really are inside: every
+        vertex of every interior cell lies in the rect, and counting via
+        interior-bypass + boundary-residual equals the direct count."""
+        rect = (38.0, 43.0, -77.0, -71.0)
+        cov, interior = s2.rect_covering_classified(*rect, 8)
+        assert interior.any() and (~interior).any()
+        vlat, vlng = s2.cell_vertices_latlng(cov[interior])
+        assert (vlat >= rect[0]).all() and (vlat <= rect[1]).all()
+        assert (vlng >= rect[2]).all() and (vlng <= rect[3]).all()
+        rng = np.random.default_rng(21)
+        la = rng.uniform(37.0, 44.0, 20000)
+        lo = rng.uniform(-78.0, -70.0, 20000)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), 8)
+        in_rect = (
+            (la >= rect[0]) & (la <= rect[1])
+            & (lo >= rect[2]) & (lo <= rect[3])
+        )
+        via = np.isin(par, cov[interior]) | (
+            np.isin(par, cov[~interior]) & in_rect
+        )
+        assert (via == in_rect).all()
+
+    def test_classified_polygon_interior(self):
+        tri = [(38.0, -76.0), (40.5, -70.5), (43.0, -75.0)]
+        cov, interior = s2.polygon_covering_classified(tri, 8)
+        assert interior.any() and (~interior).any()
+        plat = np.array([p[0] for p in tri] + [tri[0][0]])
+        plng = np.array([p[1] for p in tri] + [tri[0][1]])
+        # every vertex of every interior cell is inside the ring
+        vlat, vlng = s2.cell_vertices_latlng(cov[interior])
+        ins = s2._point_in_ring(
+            vlng.ravel(), vlat.ravel(), plng, plat
+        )
+        assert ins.all()
+        # equivalence: interior-bypass + boundary-residual == direct PIP
+        rng = np.random.default_rng(23)
+        la = rng.uniform(37.0, 44.0, 20000)
+        lo = rng.uniform(-77.0, -70.0, 20000)
+        par = s2.cell_to_parent(s2.latlng_to_cell(la, lo, 30), 8)
+        in_poly = s2._point_in_ring(lo, la, plng, plat)
+        via = np.isin(par, cov[interior]) | (
+            np.isin(par, cov[~interior]) & in_poly
+        )
+        assert (via == in_poly).all()
+
     def test_parent_level_guard(self):
         """Asking for a 'parent' FINER than the cell's own level must
         raise, not fabricate a descendant-positioned id."""
