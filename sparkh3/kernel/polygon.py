@@ -111,10 +111,28 @@ def polygon_cover_cells(rings: Rings, res: int) -> np.ndarray:
     return _polygon_cells_impl(rings, res, cover=True)
 
 
-def _polygon_cells_impl(rings: Rings, res: int, cover: bool) -> np.ndarray:
+def polygon_cover_cells_classified(
+    rings: Rings, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cover cells, interior mask): the cover plus a mask marking cells
+    PROVEN fully inside the polygon. A cover cell outside the boundary
+    band (densified edge trace + 1-ring — the same construction whose
+    completeness the cover's superset guarantee already rests on) is
+    never crossed by the polygon boundary, and its center is inside, so
+    the WHOLE cell is inside. PIP joins skip the exact per-point ray
+    cast for points landing in interior cells; only boundary-band cells
+    pay it — at scale that is the region's perimeter, not its area."""
+    cells, band = _polygon_cells_impl(rings, res, cover=True, with_band=True)
+    return cells, ~np.isin(cells, band)
+
+
+def _polygon_cells_impl(
+    rings: Rings, res: int, cover: bool, with_band: bool = False
+):
     rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3]
     if not rings:
-        return np.array([], dtype=np.uint64)
+        empty = np.array([], dtype=np.uint64)
+        return (empty, empty) if with_band else empty
     step = max(_EDGE_DEG_RES0 / (7 ** (res / 2.0)) * 0.4, 1e-9)
     elat, elng = _densify_edges(rings, step)
     edge_cells = np.unique(geo.latlng_to_cell(elat, elng, res))
@@ -140,7 +158,8 @@ def _polygon_cells_impl(rings: Rings, res: int, cover: bool) -> np.ndarray:
         frontier = new_inside
     if cover:
         result.update(band.tolist())
-    return np.array(sorted(result), dtype=np.uint64)
+    out = np.array(sorted(result), dtype=np.uint64)
+    return (out, band) if with_band else out
 
 
 def multipolygon_to_cells(polys: list[Rings], res: int) -> np.ndarray:

@@ -108,6 +108,7 @@ def pip_broadcast_fused(
     keys: list = []
     rings_list: list = []
     covers: list = []
+    interiors: list = []
     res_list: list = []
     for r, res_p in zip(poly_rows, resolutions):
         raw = r[geometry_col]
@@ -120,7 +121,14 @@ def pip_broadcast_fused(
                 for ring in raw
             ]
         )
-        covers.append(pg.polygon_cover_cells(_rings_from_raw(raw), res_p))
+        # classified cover: interior cells (proven fully inside) let
+        # their points skip the exact ray cast entirely — only
+        # boundary-band candidates pay it
+        cov_cells, cov_int = pg.polygon_cover_cells_classified(
+            _rings_from_raw(raw), res_p
+        )
+        covers.append(cov_cells)
+        interiors.append(cov_int)
         res_list.append(res_p)
     levels = []
     if covers:
@@ -136,8 +144,11 @@ def pip_broadcast_fused(
                 ),
                 [len(c) for c, rp in zip(covers, res_list) if rp == lvl],
             )
+            ci = np.concatenate(
+                [c for c, rp in zip(interiors, res_list) if rp == lvl]
+            )
             order = np.argsort(cc, kind="stable")
-            levels.append((lvl, cc[order], cp[order]))
+            levels.append((lvl, cc[order], cp[order], ci[order]))
     else:
         res_fine = 0
     bc = points.sparkSession.sparkContext.broadcast(
@@ -155,10 +166,11 @@ def pip_broadcast_fused(
             valid = ~(np.isnan(la) | np.isnan(lo))
             rows_parts = []
             poly_parts = []
+            int_parts = []
             if valid.any() and lvls:
                 cells = kgeo.latlng_to_cell(la[valid], lo[valid], rf)
                 vidx = np.where(valid)[0]
-                for lvl, cc, cp in lvls:
+                for lvl, cc, cp, ci in lvls:
                     anc = cells if lvl == rf else kix.cell_to_parent(cells, lvl)
                     left = np.searchsorted(cc, anc, side="left")
                     right = np.searchsorted(cc, anc, side="right")
@@ -171,6 +183,7 @@ def pip_broadcast_fused(
                     flat = np.repeat(left, counts) + (np.arange(total) - base)
                     rows_parts.append(vidx[ridx])
                     poly_parts.append(cp[flat])
+                    int_parts.append(ci[flat])
             if not rows_parts:
                 yield pdf.iloc[:0].assign(**{poly_key: []})[
                     in_cols + [poly_key]
@@ -178,11 +191,14 @@ def pip_broadcast_fused(
                 continue
             rows_idx = np.concatenate(rows_parts)
             poly_idx = np.concatenate(poly_parts)
-            keep = np.zeros(len(rows_idx), dtype=bool)
+            # interior-cell candidates are matches by construction (the
+            # whole cell is inside) — ray-cast only the boundary band
+            keep = np.concatenate(int_parts).copy()
+            todo = ~keep
             pla = la[rows_idx]
             plo = lo[rows_idx]
-            for g in np.unique(poly_idx):
-                m = poly_idx == g
+            for g in np.unique(poly_idx[todo]):
+                m = todo & (poly_idx == g)
                 keep[m] = pg.points_in_rings(pla[m], plo[m], rl[g])
             rows_idx = rows_idx[keep]
             poly_idx = poly_idx[keep]

@@ -225,3 +225,46 @@ class TestPolygonToCells:
             b = geo.cell_to_boundary(ix.str_to_int([cell]))[0]
             assert set(ix.int_to_str(pg.polygon_to_cells([b], 10))) == exp
             assert len(pg.polygon_to_cells([b], 1)) == 0  # empty at res 1
+
+
+class TestClassifiedCover:
+    def test_interior_cells_fully_inside(self):
+        """polygon_cover_cells_classified: every boundary vertex of every
+        interior-marked cell lies inside the polygon, and counting via
+        interior-bypass + band-ray-cast equals the direct ray cast."""
+        ring = np.array(
+            [(0.0, 0.0), (0.0, 4.0), (3.0, 4.0), (3.0, 0.0)], dtype=np.float64
+        )
+        cells, interior = pg.polygon_cover_cells_classified([ring], 6)
+        assert interior.any() and (~interior).any()
+        # full containment: all boundary vertices of interior cells inside
+        rings_b = geo.cell_to_boundary(cells[interior])
+        for b in rings_b:
+            ins = pg.points_in_rings(b[:, 0], b[:, 1], [ring])
+            assert ins.all()
+        # equivalence on random points
+        rng = np.random.default_rng(31)
+        la = rng.uniform(-0.5, 3.5, 20000)
+        lo = rng.uniform(-0.5, 4.5, 20000)
+        par = geo.latlng_to_cell(la, lo, 6)
+        direct = pg.points_in_rings(la, lo, [ring])
+        via = np.isin(par, cells[interior]) | (
+            np.isin(par, cells[~interior]) & direct
+        )
+        assert (via == direct).all()
+
+    def test_hole_band_never_interior(self):
+        shell = np.array(
+            [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0)], dtype=np.float64
+        )
+        hole = np.array(
+            [(1.5, 1.5), (1.5, 2.5), (2.5, 2.5), (2.5, 1.5)], dtype=np.float64
+        )
+        cells, interior = pg.polygon_cover_cells_classified([shell, hole], 7)
+        # no interior cell's center is inside the hole
+        clat, clng = geo.cell_to_latlng(cells[interior])
+        in_hole = pg.points_in_rings(clat, clng, [hole])
+        assert not in_hole.any()
+        # and vertices of interior cells are inside the holed polygon
+        for b in geo.cell_to_boundary(cells[interior]):
+            assert pg.points_in_rings(b[:, 0], b[:, 1], [shell, hole]).all()
