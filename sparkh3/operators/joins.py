@@ -179,23 +179,35 @@ def pip_join(
     pts = points.withColumn(
         "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
     )
-    cover = udfs.polyfill_cover_udf(resolution)
+    cover = udfs.polyfill_cover_classified_udf(resolution)
     # spread the polygon side by key so each cover computation gets its
     # own task — the UDF cost is per-polygon, not per-row-count
     spread = polygons.repartition(F.col(poly_key))
-    poly_cells = spread.withColumn("_cells", cover(F.col(geometry_col))).select(
-        *attr_cols,
-        F.explode("_cells").alias("_cell"),
+    poly_cells = (
+        spread.withColumn("_cov", cover(F.col(geometry_col)))
+        .select(*attr_cols, F.explode("_cov").alias("_cv"))
+        .select(
+            *attr_cols,
+            F.col("_cv.cell").alias("_cell"),
+            F.col("_cv.interior").alias("_interior"),
+        )
     )
     # materialize the cover once: broadcast construction over a plan that
     # still contains the Python UDF re-evaluates it (measured ~5x cost)
     poly_cells = poly_cells.persist()
     poly_cells.count()
     cand = pts.join(poly_cells, "_cell", "inner")
+    # interior-cell candidates are matches by construction (the whole
+    # cover cell is proven inside) — they go straight to the output and
+    # never touch the geometry join or the ray cast; only the boundary
+    # band pays both. (A when()-style OR would not save the work: Spark
+    # extracts Python UDFs into an unconditional projection node.)
+    cand_int = cand.filter(F.col("_interior"))
     # non-broadcast path (arbitrarily large polygon sides): geometry
-    # joins back to candidate rows only, flattened to array<double> +
-    # ring lengths (Arrow moves flat doubles ~100x cheaper than nested
-    # struct rows); the ray cast parses once per (batch, key) group.
+    # joins back to BOUNDARY candidate rows only, flattened to
+    # array<double> + ring lengths (Arrow moves flat doubles ~100x
+    # cheaper than nested struct rows); the ray cast parses once per
+    # (batch, key) group.
     poly_geom = polygons.select(
         poly_key,
         F.flatten(
@@ -210,14 +222,14 @@ def pip_join(
             "_prlens"
         ),
     )
-    cand = cand.join(poly_geom, poly_key)
-    refined = cand.filter(
+    cand_bnd = cand.filter(~F.col("_interior")).join(poly_geom, poly_key)
+    refined_bnd = cand_bnd.filter(
         udfs.point_in_flat_polygon_udf()(
             F.col(lat_col), F.col(lng_col), F.col(poly_key),
             F.col("_pcoords"), F.col("_prlens"),
         )
-    )
-    return refined.drop("_cell", "_pcoords", "_prlens")
+    ).drop("_pcoords", "_prlens")
+    return cand_int.unionByName(refined_bnd).drop("_cell", "_interior")
 
 
 def write_bucketed(

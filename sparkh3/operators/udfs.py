@@ -30,6 +30,48 @@ def polyfill_cover_udf(res: int):
     return f
 
 
+def polyfill_cover_classified_udf(res: int):
+    """Polygon -> array<struct<cell, interior>>: the candidate cover
+    plus the proven-interior flag (kernel
+    polygon_cover_cells_classified) — the shuffle PIP path routes
+    interior candidates straight to the output and joins geometry /
+    ray-casts only the boundary band."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    t = ArrayType(
+        StructType(
+            [
+                StructField("cell", StringType()),
+                StructField("interior", BooleanType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(t)
+    def f(poly: pd.Series) -> pd.Series:
+        from ..functions import _rings_from_raw
+        from ..kernel import index as ix
+        from ..kernel import polygon as pg
+
+        out = []
+        for raw in poly:
+            if raw is None or len(raw) == 0:
+                out.append([])
+                continue
+            cells, interior = pg.polygon_cover_cells_classified(
+                _rings_from_raw(raw), res
+            )
+            out.append(
+                [
+                    {"cell": c, "interior": bool(i)}
+                    for c, i in zip(ix.int_to_str(cells), interior)
+                ]
+            )
+        return pd.Series(out)
+
+    return f
+
+
 def point_in_flat_polygon_udf():
     """(lat, lng, poly_key, flat_coords, ring_lens) -> bool.
 
