@@ -481,6 +481,17 @@ def s2_parent_int(v: Column, level: int) -> Column:
     return v.bitwiseAND(F.lit(~(2 * lsb - 1))).bitwiseOR(F.lit(lsb))
 
 
+def s2_level_int(v: Column) -> Column:
+    """S2 level from the trailing marker bit — native JVM math, no UDF:
+    level = 30 - ctz(id)/2, with ctz via log2 of the isolated lsb
+    (exact: doubles represent every power of two in range)."""
+    lsb = v.bitwiseAND(-v)
+    return (
+        F.lit(30)
+        - (F.log2(lsb.cast("double")) / F.lit(2.0)).cast("int")
+    )
+
+
 def s2_range(v: Column) -> tuple[Column, Column]:
     """(range_min, range_max) of a cell's leaf descendants — id-range
     containment pruning (parquet min/max stats), native bit math."""
@@ -575,6 +586,30 @@ def s2_token_udf():
         return pd.Series(s2.cell_to_token(vals), dtype=object)
 
     return _null_safe_int_udf(f)
+
+
+def s2_token_to_cell_udf():
+    """Canonical S2 token (hex, trailing zeros stripped) -> int64 cell
+    id. String input — object-dtype Arrow batches carry nulls without
+    the int64 float64-degradation hazard."""
+
+    @F.pandas_udf(LongType())
+    def f(tok: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel import s2
+
+        vals = tok.to_numpy(dtype=object)
+        null = pd.isna(vals)
+        safe = np.where(null, "1", vals)
+        cells = s2.token_to_cell(safe).view(np.int64)
+        out = pd.Series(cells)
+        if null.any():
+            out = out.astype("Int64")
+            out[null] = None
+        return out
+
+    return f
 
 
 # ---------------------------------------------------------------------------

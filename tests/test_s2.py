@@ -362,6 +362,28 @@ class TestSparkSurface:
             back = s2.latlng_to_cell(r.ctr.lat, r.ctr.lng, 30)
             assert int(back[0]) == int(leaf)
 
+    def test_token_roundtrip_and_native_level(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparkh3 import functions as H3F
+
+        pts = [(i, 40.0 + i * 0.37, -73.0 + i * 1.13) for i in range(30)]
+        df = spark.createDataFrame(pts, ["id", "lat", "lng"]).withColumn(
+            "c", F.when(F.col("id") != 3, H3F.latlng_to_s2_udf(12)("lat", "lng"))
+        )
+        out = (
+            df.withColumn("tok", H3F.s2_token_udf()(F.col("c")))
+            .withColumn("back", H3F.s2_token_to_cell_udf()(F.col("tok")))
+            .withColumn("lvl", H3F.s2_level_int(F.col("c")))
+            .collect()
+        )
+        for r in out:
+            if r.id == 3:
+                assert r.c is None and r.back is None and r.lvl is None
+                continue
+            assert r.back == r.c  # token round-trip exact
+            assert r.lvl == 12  # native level == encode level
+
     def test_parent_null_safe(self, spark):
         from pyspark.sql import functions as F
 
