@@ -65,7 +65,16 @@ def points_in_rings(lat: np.ndarray, lng: np.ndarray, rings: Rings) -> np.ndarra
 
 
 def _densify_edges(rings: Rings, step_deg: float) -> tuple[np.ndarray, np.ndarray]:
-    """Sample points along every ring edge at ~step_deg spacing (3D lerp)."""
+    """Sample points along every ring edge at ~step_deg spacing, in BOTH
+    edge geometries: geodesic (3D lerp) AND planar lat/lng lerp. The
+    containment semantics everywhere downstream (points_in_rings, the
+    SQL oracles) are PLANAR, so the boundary band must contain every
+    cell the planar edges cross — a geodesic-only trace bulges away
+    from a long planar edge (e.g. a 20-deg lat=55 rect top deviates
+    ~0.4 deg) and can leave planar-crossed cells out of the band, which
+    would both break the cover's superset contract and falsely mark
+    those cells interior. The geodesic samples are kept so the band
+    also bounds the sphere-faithful interpretation."""
     from . import proj
 
     lats = []
@@ -90,6 +99,24 @@ def _densify_edges(rings: Rings, step_deg: float) -> tuple[np.ndarray, np.ndarra
             la, lo = proj.vec3_to_geo(pts)
             lats.append(np.degrees(la))
             lngs.append(np.degrees(lo))
+    # planar samples, in the normalized (non-wrapping) longitude frame;
+    # trig in latlng_to_cell is periodic so lng > 180 needs no re-wrap
+    nrings, _ = _normalize_rings(rings)
+    for ring in nrings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        a = r[:-1]
+        b = r[1:]
+        seg = np.maximum(
+            np.abs(b[:, 0] - a[:, 0]), np.abs(b[:, 1] - a[:, 1])
+        )
+        for i in range(len(a)):
+            n = max(int(np.ceil(seg[i] / step_deg)), 1)
+            t = np.linspace(0.0, 1.0, n + 1)[:, None]
+            p = a[i][None, :] * (1 - t) + b[i][None, :] * t
+            lats.append(p[:, 0])
+            lngs.append(p[:, 1])
     return np.concatenate(lats), np.concatenate(lngs)
 
 

@@ -474,7 +474,7 @@ def _point_in_ring(
     return (crossings % 2) == 1
 
 
-def _rect_poly_intersect(
+def _edge_hits_rect(
     xlo: np.ndarray,
     xhi: np.ndarray,
     ylo: np.ndarray,
@@ -482,17 +482,12 @@ def _rect_poly_intersect(
     px: np.ndarray,
     py: np.ndarray,
 ) -> np.ndarray:
-    """Exact planar rect-vs-polygon intersection, vectorized over (n,)
-    per-cell rects against one closed ring. Three exhaustive cases:
-    a ring vertex inside the rect, a ring edge crossing the rect
-    (separating-axis test — exact for convex-vs-segment), or the rect
-    fully inside the ring (center-point ray cast)."""
-    vin = (
-        (px[None, :] >= xlo[:, None])
-        & (px[None, :] <= xhi[:, None])
-        & (py[None, :] >= ylo[:, None])
-        & (py[None, :] <= yhi[:, None])
-    ).any(axis=1)
+    """Which per-cell rects are touched by ANY edge of the closed ring —
+    exact separating-axis test (segment and AABB are both convex, so
+    the only candidate axes are the rect axes [bbox overlap] and the
+    segment normal [corner side signs]). Shared by the intersection
+    test and the interior-containment test so the SAT machinery exists
+    exactly once."""
     x1, y1 = px[:-1], py[:-1]
     x2, y2 = px[1:], py[1:]
     bbox = (
@@ -513,7 +508,28 @@ def _rect_poly_intersect(
     one_side = ((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)) | (
         (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
     )
-    edge_hit = (bbox & ~one_side).any(axis=1)
+    return (bbox & ~one_side).any(axis=1)
+
+
+def _rect_poly_intersect(
+    xlo: np.ndarray,
+    xhi: np.ndarray,
+    ylo: np.ndarray,
+    yhi: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+) -> np.ndarray:
+    """Exact planar rect-vs-polygon intersection, vectorized over (n,)
+    per-cell rects against one closed ring. Three exhaustive cases:
+    a ring vertex inside the rect, a ring edge crossing the rect, or
+    the rect fully inside the ring (center-point ray cast)."""
+    vin = (
+        (px[None, :] >= xlo[:, None])
+        & (px[None, :] <= xhi[:, None])
+        & (py[None, :] >= ylo[:, None])
+        & (py[None, :] <= yhi[:, None])
+    ).any(axis=1)
+    edge_hit = _edge_hits_rect(xlo, xhi, ylo, yhi, px, py)
     cin = _point_in_ring((xlo + xhi) / 2.0, (ylo + yhi) / 2.0, px, py)
     return vin | edge_hit | cin
 
@@ -545,6 +561,37 @@ def _may_intersect_poly(
     return hit
 
 
+def _parse_ring(ring) -> tuple[np.ndarray, np.ndarray]:
+    """Validate + close a (lat, lng) vertex sequence ONCE — shared by
+    the covering and its classified variant (a single materialization
+    also keeps generator inputs safe)."""
+    pts = list(ring)
+    if len(pts) < 3:
+        raise ValueError("polygon ring needs at least 3 vertices")
+    plat = np.asarray([p[0] for p in pts], dtype=np.float64)
+    plng = np.asarray([p[1] for p in pts], dtype=np.float64)
+    if not (np.abs(plat) <= 90.0).all():
+        raise ValueError("latitudes must be within [-90, 90]")
+    if plat[0] != plat[-1] or plng[0] != plng[-1]:
+        plat = np.append(plat, plat[0])
+        plng = np.append(plng, plng[0])
+    return plat, plng
+
+
+def _polygon_covering_parsed(
+    plat: np.ndarray, plng: np.ndarray, level: int
+) -> np.ndarray:
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    frontier = np.array(
+        [(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64
+    )
+    for _ in range(level):
+        keep = frontier[_may_intersect_poly(frontier, plat, plng)]
+        frontier = cell_to_children(keep)
+    return np.sort(frontier[_may_intersect_poly(frontier, plat, plng)])
+
+
 def polygon_covering(ring, level: int) -> np.ndarray:
     """All cells at `level` that may intersect the simple polygon whose
     outer ring is ``ring`` (sequence of (lat, lng) vertices, closed or
@@ -561,25 +608,8 @@ def polygon_covering(ring, level: int) -> np.ndarray:
     candidate generation (reference h3pandas/util/shapely.py:12-34),
     feeding the same `s2_parent_int` covering joins and `merge_ranges`
     manifest pruning as the rect/cap coverers."""
-    if not 0 <= level <= MAX_LEVEL:
-        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
-    pts = list(ring)
-    if len(pts) < 3:
-        raise ValueError("polygon ring needs at least 3 vertices")
-    plat = np.asarray([p[0] for p in pts], dtype=np.float64)
-    plng = np.asarray([p[1] for p in pts], dtype=np.float64)
-    if not (np.abs(plat) <= 90.0).all():
-        raise ValueError("latitudes must be within [-90, 90]")
-    if plat[0] != plat[-1] or plng[0] != plng[-1]:
-        plat = np.append(plat, plat[0])
-        plng = np.append(plng, plng[0])
-    frontier = np.array(
-        [(2 * f + 1) << 60 for f in range(6)], dtype=np.uint64
-    )
-    for _ in range(level):
-        keep = frontier[_may_intersect_poly(frontier, plat, plng)]
-        frontier = cell_to_children(keep)
-    return np.sort(frontier[_may_intersect_poly(frontier, plat, plng)])
+    plat, plng = _parse_ring(ring)
+    return _polygon_covering_parsed(plat, plng, level)
 
 
 def rect_covering_classified(
@@ -614,30 +644,9 @@ def _rect_inside_poly(
 ) -> np.ndarray:
     """Vectorized exact planar test: per-cell rect FULLY inside the
     closed ring — one corner inside AND no ring edge touches the rect
-    (same SAT machinery as `_rect_poly_intersect`)."""
+    (shared `_edge_hits_rect` SAT)."""
     corner_in = _point_in_ring(xlo, ylo, px, py)
-    x1, y1 = px[:-1], py[:-1]
-    x2, y2 = px[1:], py[1:]
-    bbox = (
-        (np.maximum(x1, x2)[None, :] >= xlo[:, None])
-        & (np.minimum(x1, x2)[None, :] <= xhi[:, None])
-        & (np.maximum(y1, y2)[None, :] >= ylo[:, None])
-        & (np.minimum(y1, y2)[None, :] <= yhi[:, None])
-    )
-    dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
-
-    def side(cx, cy):
-        return dx * (cy - y1[None, :]) - dy * (cx - x1[None, :])
-
-    s1 = side(xlo[:, None], ylo[:, None])
-    s2 = side(xhi[:, None], ylo[:, None])
-    s3 = side(xlo[:, None], yhi[:, None])
-    s4 = side(xhi[:, None], yhi[:, None])
-    one_side = ((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)) | (
-        (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
-    )
-    edge_hit = (bbox & ~one_side).any(axis=1)
-    return corner_in & ~edge_hit
+    return corner_in & ~_edge_hits_rect(xlo, xhi, ylo, yhi, px, py)
 
 
 def polygon_covering_classified(
@@ -647,13 +656,8 @@ def polygon_covering_classified(
     hull proven fully inside the planar ring at some ±360 longitude
     offset) — same skip-the-residual contract as
     ``rect_covering_classified``."""
-    cov = polygon_covering(ring, level)
-    pts = list(ring)
-    plat = np.asarray([p[0] for p in pts], dtype=np.float64)
-    plng = np.asarray([p[1] for p in pts], dtype=np.float64)
-    if plat[0] != plat[-1] or plng[0] != plng[-1]:
-        plat = np.append(plat, plat[0])
-        plng = np.append(plng, plng[0])
+    plat, plng = _parse_ring(ring)
+    cov = _polygon_covering_parsed(plat, plng, level)
     lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
     interior = np.zeros(len(cov), dtype=bool)
     nf = np.flatnonzero(~full)

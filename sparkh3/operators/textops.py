@@ -786,8 +786,11 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # n_chunks reads the MATERIALIZED _toks column: a fresh tokens()
+    # expression inside the Generate node would re-run the regex split
+    # per document a second time (generator bounds are outside
+    # projection-level subexpression elimination)
+    n = F.size(F.col("_toks"))
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(stride))),
         F.lit(1).cast("long"),
@@ -796,7 +799,7 @@ def chunk_documents(
         F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
     )
     return (
-        df.withColumn("_toks", toks)
+        df.withColumn("_toks", tokens(F.col(text_col)))
         .withColumn(
             "chunk_id",
             F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),

@@ -144,7 +144,6 @@ def pip_broadcast_fused(
 
     from ..functions import _rings_from_raw
     from ..kernel import geo as kgeo
-    from ..kernel import index as kix
     from ..kernel import polygon as pg
 
     keys: list = []
@@ -213,7 +212,19 @@ def pip_broadcast_fused(
                 cells = kgeo.latlng_to_cell(la[valid], lo[valid], rf)
                 vidx = np.where(valid)[0]
                 for lvl, cc, cp, ci in lvls:
-                    anc = cells if lvl == rf else kix.cell_to_parent(cells, lvl)
+                    # DIRECT encode at each cover level: aperture-7
+                    # bit-ancestors do not geometrically contain their
+                    # descendants (~6.5% of points sit in protrusions
+                    # outside the ancestor hexagon), so ancestor
+                    # matching would break the interior bypass's
+                    # "point is inside this cell" premise and could
+                    # miss candidates whose true coarse cell differs
+                    # from the ancestor
+                    anc = (
+                        cells
+                        if lvl == rf
+                        else kgeo.latlng_to_cell(la[valid], lo[valid], lvl)
+                    )
                     left = np.searchsorted(cc, anc, side="left")
                     right = np.searchsorted(cc, anc, side="right")
                     counts = right - left

@@ -268,3 +268,17 @@ class TestClassifiedCover:
         # and vertices of interior cells are inside the holed polygon
         for b in geo.cell_to_boundary(cells[interior]):
             assert pg.points_in_rings(b[:, 0], b[:, 1], [shell, hole]).all()
+
+    def test_planar_boundary_cells_never_interior(self):
+        """Regression: the boundary band is densified along geodesic
+        edges AND planar lat/lng edges — a long planar edge (lat=55
+        across 20 deg of longitude) diverges ~0.4 deg from its geodesic,
+        and cells crossed by the PLANAR boundary (the ray-cast/oracle
+        semantics) must never be marked interior."""
+        for y0, y1, x0, x1 in [(45.0, 55.0, -5.0, 15.0), (-40.0, -20.0, -60.0, -40.0)]:
+            ring = np.array(
+                [(y0, x0), (y0, x1), (y1, x1), (y1, x0)], dtype=np.float64
+            )
+            cells, interior = pg.polygon_cover_cells_classified([ring], 4)
+            for b in geo.cell_to_boundary(cells[interior]):
+                assert pg.points_in_rings(b[:, 0], b[:, 1], [ring]).all()
