@@ -727,6 +727,23 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN via asymmetric distance computation (rows-only:
+    ADC scores are engine-side lookup sums DuckDB cannot reproduce;
+    recall and stored-codes==on-the-fly equality are property-gated in
+    tests/test_trainingdata_ops.py). Codes are 16 small ints per vector
+    vs 64 floats — the compressed-domain candidate generator a 100 TB
+    embedding corpus scans instead of raw vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.pq_train(emb, dim, m=16, k=64, refine_iters=2)
+    out = similarity.pq_topk(emb, queries, books, topk=5)
+    return out.select("query_id", "vec_id", "rank")
+
+
 def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprint counts per doc (hash-valued: rows-only)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1113,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_stats": q_winnow_stats,
         "linetrace_cells": q_linetrace_cells,
         "cell_geometry": q_cell_geometry,
+        "pq_ann": q_pq_ann,
     }
 
 

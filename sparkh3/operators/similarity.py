@@ -503,6 +503,197 @@ def lsh_cosine_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding COMPRESSION scale path:
+# vectors become m small codes (m bytes at k<=256 vs 4*dim float bytes),
+# and query scoring is m table lookups per corpus row (ADC). At 100 TB
+# the corpus stores codes only; full vectors live cold for re-ranking.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> np.ndarray:
+    """Deterministic PQ codebooks, (m, k, dim/m): per subspace, seeds are
+    the sub-vectors of the `k` smallest-xxhash64(id) rows (the IVF
+    seeding trick — uniform, no RNG state), then `refine_iters` Lloyd
+    steps run driver-side on a bounded hash-sample of the corpus (the
+    codebook is the broadcastable dimension table of PQ; its training
+    sample is capped, not the corpus)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample_rows = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(max(k * 64, 1024))
+        .collect()
+    )
+    sample = np.array(
+        [np.asarray(r["_v"], dtype=np.float64) for r in sample_rows]
+    )
+    # normalize so PQ inner products track cosine
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:k].copy()
+        for _ in range(refine_iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mcells = assign == c
+                if mcells.any():
+                    cents[c] = sub[mcells].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """embedding -> array<int> of m codes (nearest codebook entry per
+    subspace; input L2-normalized first) — one squared-distance matmul
+    per subspace per Arrow batch."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(vec: pd.Series) -> pd.Series:
+        rows = [
+            np.asarray(v, dtype=np.float64) if v is not None else None
+            for v in vec
+        ]
+        res: list = [None] * len(rows)
+        idx = [i for i, r in enumerate(rows) if r is not None]
+        if idx:
+            emb = np.stack([rows[i] for i in idx])
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(idx), m), dtype=np.int64)
+            for s in range(m):
+                sub = emb[:, s * dsub : (s + 1) * dsub]
+                # ||x - c||^2 argmin == (c.c - 2 x.c) argmin
+                cc = (codebooks[s] ** 2).sum(axis=1)
+                codes[:, s] = (cc[None, :] - 2.0 * (sub @ codebooks[s].T)).argmin(
+                    axis=1
+                )
+            for j, i in enumerate(idx):
+                res[i] = codes[j].tolist()
+        return pd.Series(res)
+
+    return f
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    code_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    corpus rows are scored from their m PQ codes via per-query lookup
+    tables (query subvector . codebook entry), no corpus vectors
+    touched. ``code_col`` names a pre-encoded array<int> column (the
+    stored 100 TB form); None encodes on the fly. Output
+    (query_id, vec_id, score, rank) — score approximates cosine of the
+    L2-normalized vectors; recall is property-tested, exact re-ranking
+    composes downstream.
+
+    100 TB shape: codes are m ints per row instead of dim floats; the
+    query tables (q x m x k doubles) ship in ONE broadcast; scoring is
+    a single Arrow pass + the standard top-k window."""
+    m, k, dsub = codebooks.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qv = np.array(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
+    )
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    # ADC tables: tables[q, s, c] = q_sub(s) . codebook[s, c]
+    tables = np.einsum(
+        "qsd,scd->qsc", qv.reshape(len(qids), m, dsub), codebooks
+    )
+    if code_col is None:
+        c = corpus.select(
+            F.col(id_col).alias("_cid"),
+            pq_encode_udf(codebooks)(F.col(vec_col)).alias("_codes"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("_cid"), F.col(code_col).alias("_codes")
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, tables))
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    id_field = next(
+        f for f in c.schema.fields if f.name == "_cid"
+    ).dataType
+    qid_field = next(
+        f for f in queries.schema.fields if f.name == query_id_col
+    ).dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", qid_field),
+            StructField("vec_id", id_field),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    c = c.filter(F.col("_codes").isNotNull())
+
+    def fn(batches):
+        ids, tabs = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(x, dtype=np.int64) for x in pdf["_codes"]]
+            )
+            n = len(codes)
+            # scores[q, i] = sum_s tabs[q, s, codes[i, s]]
+            sub_idx = np.arange(m)
+            scores = np.zeros((nq, n), dtype=np.float64)
+            for q in range(nq):
+                scores[q] = tabs[q][sub_idx[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "vec_id": np.tile(pdf["_cid"].to_numpy(), nq),
+                    "score": np.round(scores.reshape(-1), 6),
+                }
+            )
+
+    scored = c.mapInPandas(fn, out_schema).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )
+
+
 def embedding_centroids(
     emb: DataFrame,
     label_col: str = "label",

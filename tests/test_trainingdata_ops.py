@@ -443,6 +443,43 @@ class TestSimilarity:
         }
         assert via_table == in_memory
 
+    def test_pq_recall_and_stored_codes(self, emb, spark):
+        """PQ-ADC top-k: recall vs exact cosine at modest codebook size,
+        deterministic codebooks, and the stored-codes path (the 100 TB
+        form) returns exactly what on-the-fly encoding returns."""
+        import numpy as np
+
+        dim = len(emb.first().embedding)
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        b1 = similarity.pq_train(emb, dim, m=16, k=64, refine_iters=2)
+        b2 = similarity.pq_train(emb, dim, m=16, k=64, refine_iters=2)
+        assert np.array_equal(b1, b2)  # deterministic
+        approx = similarity.pq_topk(emb, queries, b1, topk=10)
+        exact = similarity.cosine_topk(emb, queries, k=10)
+        a = {(r.query_id, r.vec_id) for r in approx.collect()}
+        e = {(r.query_id, r.vec_id) for r in exact.collect()}
+        # compressed-domain recall (codes are 16 small ints vs 64
+        # floats; PQ is the candidate generator — exact re-rank over
+        # cold vectors composes downstream)
+        assert len(a & e) / len(e) >= 0.4
+        # stored codes == on-the-fly encoding
+        coded = emb.withColumn(
+            "codes", similarity.pq_encode_udf(b1)(F.col("embedding"))
+        )
+        via_codes = {
+            (r.query_id, r.vec_id, r.score, r.rank)
+            for r in similarity.pq_topk(
+                coded, queries, b1, topk=10, code_col="codes"
+            ).collect()
+        }
+        direct = {
+            (r.query_id, r.vec_id, r.score, r.rank)
+            for r in approx.collect()
+        }
+        assert via_codes == direct
+
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), "embedding"
