@@ -694,6 +694,85 @@ def pq_topk(
     )
 
 
+def ivfpq_write_corpus(
+    corpus: DataFrame,
+    root: str,
+    n_lists: int = 16,
+    m: int = 16,
+    k: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """IVF + PQ hybrid (the FAISS-IVFPQ layout, relationally): each
+    vector is assigned to ONE inverted list AND compressed to m PQ
+    codes, then written list-major through the manifest table layer.
+    A query then reads only its probed lists' FILES and scores them
+    from codes alone — pruning in the scan, compression in the scoring.
+    Both codebooks persist beside the snapshot."""
+    import json as _json
+    from pathlib import Path
+
+    dim = len(corpus.select(vec_col).first()[0])
+    books = pq_train(corpus, dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    coded = corpus.withColumn("_codes", pq_encode_udf(books)(F.col(vec_col)))
+    snap = ivf_write_corpus(
+        coded, root, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    (
+        Path(root) / "metadata" / f"pq_codebook_v{snap['version']}.json"
+    ).write_text(
+        _json.dumps({"m": m, "k": k, "books": books.tolist()})
+    )
+    return snap
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    root: str,
+    topk: int,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the IVFPQ table: assign queries to their `n_probe` nearest
+    lists with the STORED coarse codebook, read only those lists' files
+    (manifest pruning), and ADC-score the pruned rows from their stored
+    PQ codes — corpus vectors are never read. Output
+    (query_id, vec_id, score, rank)."""
+    import json as _json
+    from pathlib import Path
+
+    from ..sources import manifest
+
+    cb = _ivf_load_codebook(root)
+    snap = manifest.load_snapshot(root)
+    pq = _json.loads(
+        (
+            Path(root) / "metadata" / f"pq_codebook_v{snap['version']}.json"
+        ).read_text()
+    )
+    books = np.asarray(pq["books"], dtype=np.float64)
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    q_assign = _ivf_assign_udf(cb["centroids"], n_probe)
+    q_l = q.select(
+        "_qid", F.explode(q_assign(F.col("_qv"))).alias("_list")
+    )
+    probe = [r[0] for r in q_l.select("_list").distinct().collect()]
+    pruned = ivf_read_corpus(queries.sparkSession, root, probe)
+    return pq_topk(
+        pruned.select(F.col(cb["id_col"]).alias(cb["id_col"]), "_codes"),
+        queries,
+        books,
+        topk,
+        id_col=cb["id_col"],
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        code_col="_codes",
+    )
+
+
 def embedding_centroids(
     emb: DataFrame,
     label_col: str = "label",

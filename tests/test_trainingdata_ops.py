@@ -480,6 +480,57 @@ class TestSimilarity:
         }
         assert via_codes == direct
 
+    def test_ivfpq_table(self, emb, spark, tmp_path):
+        """IVFPQ hybrid: list-major manifest layout + PQ codes; queries
+        prune FILES to the probe set and score from stored codes only.
+        Recall floor vs exact cosine; full-probe == plain PQ ADC over
+        the whole corpus (same codes, same tables)."""
+        from sparkh3.sources import manifest
+
+        root = str(tmp_path / "ivfpq")
+        n_lists = 8
+        similarity.ivfpq_write_corpus(
+            emb, root, n_lists=n_lists, m=16, k=64
+        )
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # pruning is real for a sub-full probe set
+        kept, total = manifest.pruned_file_count(
+            root, ranges=similarity.ivf_list_ranges([0, 1])
+        )
+        assert kept < total
+        got = similarity.ivfpq_topk(queries, root, topk=10, n_probe=4)
+        a = {(r.query_id, r.vec_id) for r in got.collect()}
+        e = {
+            (r.query_id, r.vec_id)
+            for r in similarity.cosine_topk(emb, queries, k=10).collect()
+        }
+        assert len(a & e) / len(e) >= 0.3  # probe-limited + compressed
+        # full probe: every row scored -> equals whole-corpus PQ ADC
+        full = similarity.ivfpq_topk(
+            queries, root, topk=10, n_probe=n_lists
+        )
+        import json as _json
+        from pathlib import Path
+
+        snap = manifest.load_snapshot(root)
+        books = __import__("numpy").asarray(
+            _json.loads(
+                (
+                    Path(root)
+                    / "metadata"
+                    / f"pq_codebook_v{snap['version']}.json"
+                ).read_text()
+            )["books"]
+        )
+        plain = similarity.pq_topk(emb, queries, books, topk=10)
+        assert {
+            (r.query_id, r.vec_id, r.score, r.rank) for r in full.collect()
+        } == {
+            (r.query_id, r.vec_id, r.score, r.rank) for r in plain.collect()
+        }
+
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), "embedding"
