@@ -76,7 +76,10 @@ def main() -> None:
     keepers = textops.exact_dedup(signals, hash_key=True).select(
         F.col("keeper_id").alias("doc_id")
     )
-    exact_kept = signals.join(keepers, "doc_id", "semi")
+    # persist: everything downstream (pairs, anti-join, gates, split,
+    # pack, table write) re-reads this — without it each of the ~5
+    # later actions would recompute the dedup shuffle from scratch
+    exact_kept = signals.join(keepers, "doc_id", "semi").persist()
     n_exact = exact_kept.count()
 
     # stage 3: near-dup removal — MinHash-LSH pairs (id-only banding) ->
@@ -89,7 +92,7 @@ def main() -> None:
     # stage 4: quality gate + boilerplate gate (native column algebra)
     clean = neardup_free.filter(
         (F.col("quality") >= 0.05) & (F.col("dup_3gram_ratio") <= 0.9)
-    )
+    ).persist()
     n_clean = clean.count()
 
     # stage 5: deterministic split + per-(split, source) sequence packing

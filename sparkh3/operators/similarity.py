@@ -157,6 +157,22 @@ def cosine_neardup_pairs(
     return out.select("id_a", "id_b", "sim")
 
 
+def _normalized_valid_batch(vec: pd.Series):
+    """(emb, idx): stacked L2-normalized non-null vectors and their
+    input positions — the shared scaffold of every batch-vector UDF
+    (null masking + norm clamping live in exactly one place)."""
+    rows = [
+        np.asarray(v, dtype=np.float64) if v is not None else None
+        for v in vec
+    ]
+    idx = [i for i, r in enumerate(rows) if r is not None]
+    if not idx:
+        return None, idx
+    emb = np.stack([rows[i] for i in idx])
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    return emb, idx
+
+
 def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
     """embedding -> array of the n_probe nearest centroid ids (by cosine;
     centroids are L2-normalized so one matrix multiply per Arrow batch)."""
@@ -164,17 +180,9 @@ def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def f(vec: pd.Series) -> pd.Series:
-        rows = [
-            np.asarray(v, dtype=np.float64) if v is not None else None
-            for v in vec
-        ]
-        res: list = [None] * len(rows)
-        idx = [i for i, r in enumerate(rows) if r is not None]
+        res: list = [None] * len(vec)
+        emb, idx = _normalized_valid_batch(vec)
         if idx:
-            emb = np.stack([rows[i] for i in idx])
-            emb = emb / np.maximum(
-                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
-            )
             sims = emb @ cn.T  # (n, n_lists)
             top = np.argsort(-sims, axis=1)[:, :n_probe]
             for j, i in enumerate(idx):
@@ -346,12 +354,19 @@ def ivf_write_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    store_vec: bool = True,
 ) -> dict:
     """Materialize the IVF inverted-list layout through the manifest
     table layer: one deterministic list assignment pass, rows written
     list-major (manifest bucket == list id), codebook persisted beside
     the snapshot so reads assign queries with the exact centroids the
-    corpus was partitioned by. Returns the snapshot dict."""
+    corpus was partitioned by. Returns the snapshot dict.
+
+    ``store_vec=False`` drops the raw vector column after assignment —
+    the IVFPQ layout, where the table stores codes only and full
+    vectors live in a separate cold table for re-ranking (an IVFPQ
+    table cannot serve ivf_cosine_topk(table_root=...), which re-ranks
+    from stored vectors)."""
     import json as _json
     from pathlib import Path
 
@@ -373,6 +388,8 @@ def ivf_write_corpus(
             F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(mask))
         ),
     )
+    if not store_vec:
+        keyed = keyed.drop(vec_col)
     snap = manifest.write_table(
         keyed, root, "_ivf_key", key_is_int=True, bucket_bits=_IVF_BUCKET_BITS
     )
@@ -434,14 +451,10 @@ def lsh_signatures_udf(dim: int, n_tables: int, n_bits: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def f(vec: pd.Series) -> pd.Series:
-        rows = [
-            np.asarray(v, dtype=np.float64) if v is not None else None
-            for v in vec
-        ]
-        res: list = [None] * len(rows)
-        valid_idx = [i for i, r in enumerate(rows) if r is not None]
+        res: list = [None] * len(vec)
+        # normalization is sign-preserving, so signatures are unchanged
+        emb, valid_idx = _normalized_valid_batch(vec)
         if valid_idx:
-            emb = np.stack([rows[i] for i in valid_idx])
             proj = emb @ w_t
             bits = (proj > 0).reshape(len(valid_idx), n_tables, n_bits)
             sigs = (bits * weights).sum(axis=2)
@@ -538,6 +551,11 @@ def pq_train(
         .limit(max(k * 64, 1024))
         .collect()
     )
+    if len(sample_rows) < k:
+        raise ValueError(
+            f"pq_train: corpus has {len(sample_rows)} rows < k={k} "
+            "codebook entries — lower k or grow the corpus"
+        )
     sample = np.array(
         [np.asarray(r["_v"], dtype=np.float64) for r in sample_rows]
     )
@@ -568,17 +586,9 @@ def pq_encode_udf(codebooks: np.ndarray):
 
     @F.pandas_udf(ArrayType(LongType()))
     def f(vec: pd.Series) -> pd.Series:
-        rows = [
-            np.asarray(v, dtype=np.float64) if v is not None else None
-            for v in vec
-        ]
-        res: list = [None] * len(rows)
-        idx = [i for i, r in enumerate(rows) if r is not None]
+        res: list = [None] * len(vec)
+        emb, idx = _normalized_valid_batch(vec)
         if idx:
-            emb = np.stack([rows[i] for i in idx])
-            emb = emb / np.maximum(
-                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
-            )
             codes = np.empty((len(idx), m), dtype=np.int64)
             for s in range(m):
                 sub = emb[:, s * dsub : (s + 1) * dsub]
@@ -715,8 +725,11 @@ def ivfpq_write_corpus(
     dim = len(corpus.select(vec_col).first()[0])
     books = pq_train(corpus, dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
     coded = corpus.withColumn("_codes", pq_encode_udf(books)(F.col(vec_col)))
+    # codes replace vectors at rest (the point of PQ): the table stores
+    # m small ints per row; raw vectors stay in the source/cold table
     snap = ivf_write_corpus(
-        coded, root, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        coded, root, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        store_vec=False,
     )
     (
         Path(root) / "metadata" / f"pq_codebook_v{snap['version']}.json"
@@ -738,38 +751,86 @@ def ivfpq_topk(
     lists with the STORED coarse codebook, read only those lists' files
     (manifest pruning), and ADC-score the pruned rows from their stored
     PQ codes — corpus vectors are never read. Output
-    (query_id, vec_id, score, rank)."""
+    (query_id, vec_id, score, rank).
+
+    Each query scores ONLY rows in its OWN probed lists (broadcast
+    (_qid, _list) join, like ivf_cosine_topk) — results are independent
+    of which other queries are batched, and the per-query candidate
+    bound stays n_probe lists. ONE snapshot version is resolved up
+    front and threads through codebook loads and the pruned read, so a
+    concurrent writer commit cannot mix centroids, PQ codebook, and
+    data files from different versions."""
     import json as _json
     from pathlib import Path
 
     from ..sources import manifest
 
-    cb = _ivf_load_codebook(root)
     snap = manifest.load_snapshot(root)
+    version = snap["version"]
+    cb = _ivf_load_codebook(root, version)
     pq = _json.loads(
         (
-            Path(root) / "metadata" / f"pq_codebook_v{snap['version']}.json"
+            Path(root) / "metadata" / f"pq_codebook_v{version}.json"
         ).read_text()
     )
     books = np.asarray(pq["books"], dtype=np.float64)
-    q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    m, k, dsub = books.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qv = np.array(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
     )
-    q_assign = _ivf_assign_udf(cb["centroids"], n_probe)
-    q_l = q.select(
-        "_qid", F.explode(q_assign(F.col("_qv"))).alias("_list")
+    qvn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    # per-query probe lists, assigned driver-side with the stored coarse
+    # codebook (queries are the declared-small broadcast side)
+    cn = cb["centroids"] / np.linalg.norm(
+        cb["centroids"], axis=1, keepdims=True
     )
-    probe = [r[0] for r in q_l.select("_list").distinct().collect()]
-    pruned = ivf_read_corpus(queries.sparkSession, root, probe)
-    return pq_topk(
-        pruned.select(F.col(cb["id_col"]).alias(cb["id_col"]), "_codes"),
-        queries,
-        books,
-        topk,
-        id_col=cb["id_col"],
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-        code_col="_codes",
+    order = np.argsort(-(qvn @ cn.T), axis=1)[:, :n_probe]
+    pair_rows = [
+        (qid, int(lst)) for qid, lists in zip(qids, order) for lst in lists
+    ]
+    spark = queries.sparkSession
+    q_l = spark.createDataFrame(pair_rows, ["_qid", "_list"])
+    probe = sorted({lst for _, lst in pair_rows})
+    pruned = ivf_read_corpus(spark, root, probe, version=version)
+    cand = pruned.select(
+        F.col(cb["id_col"]).alias("_cid"), "_codes", "_list"
+    ).join(F.broadcast(q_l), "_list")
+    # ADC tables: tables[q, s, c] = q_sub(s) . codebook[s, c]
+    tables = np.einsum("qsd,scd->qsc", qvn.reshape(len(qids), m, dsub), books)
+    tmap = {qid: tables[i] for i, qid in enumerate(qids)}
+    bc = spark.sparkContext.broadcast(tmap)
+
+    @F.pandas_udf("double")
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        tabs = bc.value
+        out = np.zeros(len(qid), dtype=np.float64)
+        if len(qid) == 0:
+            return pd.Series(out)
+        cmat = np.stack([np.asarray(x, dtype=np.int64) for x in codes])
+        grp, uniq = pd.factorize(qid)
+        sub = np.arange(cmat.shape[1])
+        for g, key in enumerate(uniq):
+            mask = grp == g
+            out[mask] = tabs[key][sub[None, :], cmat[mask]].sum(axis=1)
+        return pd.Series(np.round(out, 6))
+
+    scored = cand.withColumn("score", adc(F.col("_qid"), F.col("_codes"))).filter(
+        F.col("_cid") != F.col("_qid")
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("vec_id"),
+            "score",
+            "rank",
+        )
     )
 
 

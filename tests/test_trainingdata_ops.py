@@ -530,6 +530,25 @@ class TestSimilarity:
         } == {
             (r.query_id, r.vec_id, r.score, r.rank) for r in plain.collect()
         }
+        # batch independence: a query's results must not depend on which
+        # other queries are batched with it (each query scores only its
+        # OWN probed lists, never the union of the batch's probes)
+        one = queries.limit(1)
+        solo = {
+            (r.vec_id, r.rank)
+            for r in similarity.ivfpq_topk(
+                one, root, topk=5, n_probe=1
+            ).collect()
+        }
+        qid0 = one.collect()[0].query_id
+        batched = {
+            (r.vec_id, r.rank)
+            for r in similarity.ivfpq_topk(
+                queries, root, topk=5, n_probe=1
+            ).collect()
+            if r.query_id == qid0
+        }
+        assert solo == batched
 
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
