@@ -372,6 +372,7 @@ def run_extended(spark, sf_dir: str, runs: int = 2) -> dict:
         "x6_embed_centroids",
         lambda: E.q_embed_centroids(spark, sf_dir).count(),
     )
+    best_of("x7_pq_ann", lambda: E.q_pq_ann(spark, sf_dir).count())
     return out
 
 
