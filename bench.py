@@ -508,13 +508,18 @@ def main() -> None:
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALING_THREADS", "1,4").split(",")
         )
-        runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
-        # symmetric sampling: BOTH legs are min-of-`runs`, interleaved so
-        # slow-host drift hits both legs equally. EVERY leg pair goes
+        runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
+        # symmetric sampling: legs are interleaved (hi, lo, hi, lo, ...)
+        # so slow-host drift hits both legs equally. EVERY leg pair goes
         # into the artifact (`runs` array, each with its own quick host
-        # probe) so one host phase is visible as one outlier round
-        # instead of silently poisoning — or inflating — the record;
-        # the headline efficiency is min-leg based as before.
+        # probe) so one host phase is visible as one outlier round.
+        # The headline efficiency is the MEDIAN of the per-run
+        # efficiencies, each computed WITHIN its own pair — pairing the
+        # best hi leg of one run with the best lo leg of another
+        # systematically flatters the ratio (host phases are
+        # multi-minute, so cross-run legs sample different hosts).
+        # Min-of-N stays for the reported WALL TIMES only, where "best
+        # observed" is the honest statistic for a noisy host.
         hi_times: list[float] = []
         lo_legs: list[tuple[int, float]] = []
         rounds: list[dict] = []
@@ -536,7 +541,9 @@ def main() -> None:
         t_hi = min(hi_times)
         rows_w = lo_legs[0][0]
         t_lo = min(t for _, t in lo_legs)
-        eff = (t_lo / t_hi) / (hi / lo)
+        import statistics
+
+        eff = statistics.median(r["efficiency"] for r in rounds)
         result["scaling"] = {
             "workload_rows": rows_w,
             f"local{lo}_sec": round(t_lo, 3),
@@ -544,6 +551,7 @@ def main() -> None:
             f"local{lo}_rows_per_sec": round(rows_w / t_lo, 1),
             f"local{hi}_rows_per_sec": round(rows_w / t_hi, 1),
             "efficiency": round(eff, 3),
+            "efficiency_stat": "median_of_within_run_pairs",
             "runs": rounds,
             # the host's own parallel-memory context, measured in the
             # same run so the artifact carries it: a pure-NumPy

@@ -483,12 +483,16 @@ def s2_parent_int(v: Column, level: int) -> Column:
 
 def s2_level_int(v: Column) -> Column:
     """S2 level from the trailing marker bit — native JVM math, no UDF:
-    level = 30 - ctz(id)/2, with ctz via log2 of the isolated lsb
-    (exact: doubles represent every power of two in range)."""
+    level = 30 - ctz(id)/2, with ctz via log2 of the isolated lsb.
+    Doubles represent the lsb exactly, but Spark's Log2 is
+    log(x)/log(2) — libm error can land a sub-ulp LOW (e.g.
+    47.999999999999996), so the half-level is ROUNDED to nearest, never
+    truncated (the true value is an exact integer, so nearest-rounding
+    absorbs any ulp-scale error)."""
     lsb = v.bitwiseAND(-v)
     return (
         F.lit(30)
-        - (F.log2(lsb.cast("double")) / F.lit(2.0)).cast("int")
+        - F.round(F.log2(lsb.cast("double")) / F.lit(2.0)).cast("int")
     )
 
 

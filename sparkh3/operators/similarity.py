@@ -272,7 +272,14 @@ def ivf_cosine_topk(
         F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
     )
     if table_root is not None:
-        cb = _ivf_load_codebook(table_root)
+        # resolve ONE snapshot version up front and thread it through
+        # both the codebook load and the pruned read — a concurrent
+        # writer commit between the two must not mix old centroids with
+        # new data files (same single-version rule as ivfpq_topk)
+        from ..sources import manifest
+
+        version = manifest.load_snapshot(table_root)["version"]
+        cb = _ivf_load_codebook(table_root, version)
         centroids = cb["centroids"]
         q_assign = _ivf_assign_udf(centroids, n_probe)
         # persist: the assignment UDF output feeds BOTH the probe-set
@@ -284,7 +291,9 @@ def ivf_cosine_topk(
         # the probe set is <= n_lists small ints (codebook-sized — the
         # driver already holds the codebook by design)
         probe = [r[0] for r in q_l.select("_list").distinct().collect()]
-        c_l = ivf_read_corpus(queries.sparkSession, table_root, probe).select(
+        c_l = ivf_read_corpus(
+            queries.sparkSession, table_root, probe, version=version
+        ).select(
             F.col(cb["id_col"]).alias("_cid"),
             F.col(cb["vec_col"]).alias("_cv"),
             "_list",
@@ -355,6 +364,7 @@ def ivf_write_corpus(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     store_vec: bool = True,
+    list_col: str | None = None,
 ) -> dict:
     """Materialize the IVF inverted-list layout through the manifest
     table layer: one deterministic list assignment pass, rows written
@@ -362,11 +372,18 @@ def ivf_write_corpus(
     the snapshot so reads assign queries with the exact centroids the
     corpus was partitioned by. Returns the snapshot dict.
 
+    Rows with a null embedding get no list assignment and are dropped
+    before the write (they would land in the default partition and be
+    unreachable by every pruned read, while still counting in the
+    snapshot's total_rows — silently inconsistent).
+
     ``store_vec=False`` drops the raw vector column after assignment —
     the IVFPQ layout, where the table stores codes only and full
     vectors live in a separate cold table for re-ranking (an IVFPQ
     table cannot serve ivf_cosine_topk(table_root=...), which re-ranks
-    from stored vectors)."""
+    from stored vectors). ``list_col`` names an existing list-id column
+    to reuse (caller already assigned, e.g. to compute residuals) —
+    the centroids passed MUST be the ones that produced it."""
     import json as _json
     from pathlib import Path
 
@@ -378,11 +395,17 @@ def ivf_write_corpus(
         )
     if centroids is None:
         centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
-    assign = _ivf_assign_udf(centroids, 1)
     mask = (1 << IVF_LIST_SHIFT) - 1
-    keyed = corpus.withColumn(
-        "_list", F.element_at(assign(F.col(vec_col)), 1)
-    ).withColumn(
+    if list_col is not None:
+        listed = corpus.withColumn("_list", F.col(list_col).cast("long"))
+        if list_col != "_list":
+            listed = listed.drop(list_col)
+    else:
+        assign = _ivf_assign_udf(centroids, 1)
+        listed = corpus.withColumn(
+            "_list", F.element_at(assign(F.col(vec_col)), 1)
+        )
+    keyed = listed.filter(F.col("_list").isNotNull()).withColumn(
         "_ivf_key",
         F.shiftleft(F.col("_list"), IVF_LIST_SHIFT).bitwiseOR(
             F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(mask))
@@ -532,13 +555,18 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 1,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Deterministic PQ codebooks, (m, k, dim/m): per subspace, seeds are
     the sub-vectors of the `k` smallest-xxhash64(id) rows (the IVF
     seeding trick — uniform, no RNG state), then `refine_iters` Lloyd
     steps run driver-side on a bounded hash-sample of the corpus (the
     codebook is the broadcastable dimension table of PQ; its training
-    sample is capped, not the corpus)."""
+    sample is capped, not the corpus).
+
+    ``normalize=False`` trains on the raw vectors — the residual path,
+    where inputs are (unit vector − centroid) differences whose norm
+    carries signal and must not be rescaled."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -559,10 +587,11 @@ def pq_train(
     sample = np.array(
         [np.asarray(r["_v"], dtype=np.float64) for r in sample_rows]
     )
-    # normalize so PQ inner products track cosine
-    sample = sample / np.maximum(
-        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
-    )
+    if normalize:
+        # normalize so PQ inner products track cosine
+        sample = sample / np.maximum(
+            np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+        )
     books = np.empty((m, k, dsub), dtype=np.float64)
     for s in range(m):
         sub = sample[:, s * dsub : (s + 1) * dsub]
@@ -578,16 +607,25 @@ def pq_train(
     return books
 
 
-def pq_encode_udf(codebooks: np.ndarray):
+def pq_encode_udf(codebooks: np.ndarray, normalize: bool = True):
     """embedding -> array<int> of m codes (nearest codebook entry per
-    subspace; input L2-normalized first) — one squared-distance matmul
-    per subspace per Arrow batch."""
+    subspace; input L2-normalized first unless ``normalize=False`` —
+    the residual path) — one squared-distance matmul per subspace per
+    Arrow batch."""
     m, k, dsub = codebooks.shape
 
     @F.pandas_udf(ArrayType(LongType()))
     def f(vec: pd.Series) -> pd.Series:
         res: list = [None] * len(vec)
-        emb, idx = _normalized_valid_batch(vec)
+        if normalize:
+            emb, idx = _normalized_valid_batch(vec)
+        else:
+            rows = [
+                np.asarray(v, dtype=np.float64) if v is not None else None
+                for v in vec
+            ]
+            idx = [i for i, r in enumerate(rows) if r is not None]
+            emb = np.stack([rows[i] for i in idx]) if idx else None
         if idx:
             codes = np.empty((len(idx), m), dtype=np.int64)
             for s in range(m):
@@ -604,6 +642,30 @@ def pq_encode_udf(codebooks: np.ndarray):
     return f
 
 
+def _empty_topk(spark, qid_type, vid_type, score_name: str) -> DataFrame:
+    """Zero-query result frame with the standard (query_id, vec_id,
+    score, rank) shape — createDataFrame([]) cannot infer a schema, so
+    the empty edge gets an explicit one."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField("vec_id", vid_type),
+                StructField(score_name, DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        ),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -614,6 +676,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     code_col: str | None = None,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC):
     corpus rows are scored from their m PQ codes via per-query lookup
@@ -626,9 +689,28 @@ def pq_topk(
 
     100 TB shape: codes are m ints per row instead of dim floats; the
     query tables (q x m x k doubles) ship in ONE broadcast; scoring is
-    a single Arrow pass + the standard top-k window."""
+    a single Arrow pass that keeps only each batch's per-query top
+    (topk+1) rows, so the top-k window shuffles nq x (topk+1) x
+    n_batches rows, not nq x n. The query side is declared-small
+    (<= max_queries, enforced by a bounded collect)."""
     m, k, dsub = codebooks.shape
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk broadcasts per-query ADC tables; got > {max_queries} "
+            "query rows — pre-aggregate or raise max_queries explicitly"
+        )
+    if not qrows:
+        return _empty_topk(
+            queries.sparkSession,
+            queries.schema[query_id_col].dataType,
+            corpus.schema[id_col].dataType,
+            "score",
+        )
     qids = [r[query_id_col] for r in qrows]
     qv = np.array(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
@@ -673,23 +755,49 @@ def pq_topk(
     def fn(batches):
         ids, tabs = bc.value
         nq = len(ids)
+        # topk+1 kept per batch, not topk: the one possible self-match
+        # row (filtered after this map) must not evict a real candidate
+        keep_n = topk + 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # batch pre-sorted by vec_id so a STABLE descending argsort
+            # reproduces the final window's (score desc, vec_id asc)
+            # order exactly — partial top-k cannot flip a tie-break
+            pdf = pdf.sort_values("_cid", kind="mergesort")
             codes = np.stack(
                 [np.asarray(x, dtype=np.int64) for x in pdf["_codes"]]
             )
             n = len(codes)
+            vids = pdf["_cid"].to_numpy()
             # scores[q, i] = sum_s tabs[q, s, codes[i, s]]
             sub_idx = np.arange(m)
             scores = np.zeros((nq, n), dtype=np.float64)
             for q in range(nq):
                 scores[q] = tabs[q][sub_idx[None, :], codes].sum(axis=1)
+            scores = np.round(scores, 6)
+            if n <= keep_n:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, n),
+                        "vec_id": np.tile(vids, nq),
+                        "score": scores.reshape(-1),
+                    }
+                )
+                continue
+            sel = np.stack(
+                [
+                    np.argsort(-scores[q], kind="stable")[:keep_n]
+                    for q in range(nq)
+                ]
+            )  # (nq, keep_n)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids, n),
-                    "vec_id": np.tile(pdf["_cid"].to_numpy(), nq),
-                    "score": np.round(scores.reshape(-1), 6),
+                    "query_id": np.repeat(ids, keep_n),
+                    "vec_id": vids[sel.reshape(-1)],
+                    "score": np.take_along_axis(scores, sel, axis=1).reshape(
+                        -1
+                    ),
                 }
             )
 
@@ -712,29 +820,69 @@ def ivfpq_write_corpus(
     k: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_refine_iters: int = 2,
 ) -> dict:
     """IVF + PQ hybrid (the FAISS-IVFPQ layout, relationally): each
-    vector is assigned to ONE inverted list AND compressed to m PQ
-    codes, then written list-major through the manifest table layer.
-    A query then reads only its probed lists' FILES and scores them
-    from codes alone — pruning in the scan, compression in the scoring.
-    Both codebooks persist beside the snapshot."""
+    vector is assigned to ONE inverted list AND its RESIDUAL
+    (normalized vector minus that list's normalized centroid) is
+    compressed to m PQ codes, then written list-major through the
+    manifest table layer. A query then reads only its probed lists'
+    FILES and scores them from codes alone — pruning in the scan,
+    compression in the scoring. Residual encoding is what makes the
+    hybrid accurate: residual magnitudes are a fraction of vector
+    magnitudes, so the same m x k code budget quantizes far finer
+    (q . v  =  q . centroid[list]  +  q . residual — the first term is
+    exact per (query, list); only the small second term is quantized).
+    Both codebooks persist beside the snapshot; assignment runs ONCE
+    (the list column is reused for residuals AND the table layout)."""
     import json as _json
     from pathlib import Path
 
     dim = len(corpus.select(vec_col).first()[0])
-    books = pq_train(corpus, dim, m=m, k=k, id_col=id_col, vec_col=vec_col)
-    coded = corpus.withColumn("_codes", pq_encode_udf(books)(F.col(vec_col)))
+    cents = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    assign = _ivf_assign_udf(cents, 1)
+    listed = corpus.withColumn(
+        "_list", F.element_at(assign(F.col(vec_col)), 1)
+    )
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def residual(vec: pd.Series, lst: pd.Series) -> pd.Series:
+        res: list = [None] * len(vec)
+        emb, idx = _normalized_valid_batch(vec)
+        if idx:
+            lists = lst.iloc[idx].to_numpy(dtype=np.int64)
+            r = emb - cn[lists]
+            for j, i in enumerate(idx):
+                res[i] = r[j].tolist()
+        return pd.Series(res)
+
+    resd = listed.withColumn(
+        "_res", residual(F.col(vec_col), F.col("_list"))
+    )
+    books = pq_train(
+        resd, dim, m=m, k=k, id_col=id_col, vec_col="_res",
+        refine_iters=pq_refine_iters, normalize=False,
+    )
+    coded = resd.withColumn(
+        "_codes", pq_encode_udf(books, normalize=False)(F.col("_res"))
+    ).drop("_res")
     # codes replace vectors at rest (the point of PQ): the table stores
     # m small ints per row; raw vectors stay in the source/cold table
     snap = ivf_write_corpus(
         coded, root, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
-        store_vec=False,
+        centroids=cents, store_vec=False, list_col="_list",
     )
     (
         Path(root) / "metadata" / f"pq_codebook_v{snap['version']}.json"
     ).write_text(
-        _json.dumps({"m": m, "k": k, "books": books.tolist()})
+        _json.dumps(
+            {"m": m, "k": k, "residual": True, "books": books.tolist()}
+        )
     )
     return snap
 
@@ -746,6 +894,11 @@ def ivfpq_topk(
     n_probe: int = 4,
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_queries: int = 4096,
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Query the IVFPQ table: assign queries to their `n_probe` nearest
     lists with the STORED coarse codebook, read only those lists' files
@@ -753,18 +906,37 @@ def ivfpq_topk(
     PQ codes — corpus vectors are never read. Output
     (query_id, vec_id, score, rank).
 
+    Residual tables (the current write layout) decompose the score as
+    q . centroid[list] (exact, a per-(query, list) constant computed
+    driver-side and shipped on the broadcast pair row) + q . residual
+    (ADC over the stored residual codes). Legacy non-residual tables
+    score codes directly with bias 0.
+
+    ``rerank_corpus`` is the standard IVFPQ accuracy composition: ADC
+    keeps a per-query shortlist (``shortlist`` rows, default
+    max(4*topk, 50)), then EXACT cosine re-ranks the shortlist against
+    the cold vector table (`id_col`/`vec_col` columns). The shortlist
+    (nq x shortlist id pairs) broadcasts into the cold-table scan, so
+    the re-rank reads full vectors for shortlist rows only — compressed
+    scan first, exact math on a sliver. Quantization then costs recall
+    only when a true neighbor misses the whole shortlist; top-k recall
+    is near-exact at modest shortlist sizes (property-tested).
+    Shortlist rows missing from ``rerank_corpus`` are dropped.
+
     Each query scores ONLY rows in its OWN probed lists (broadcast
     (_qid, _list) join, like ivf_cosine_topk) — results are independent
     of which other queries are batched, and the per-query candidate
     bound stays n_probe lists. ONE snapshot version is resolved up
     front and threads through codebook loads and the pruned read, so a
     concurrent writer commit cannot mix centroids, PQ codebook, and
-    data files from different versions."""
+    data files from different versions. The query side is
+    declared-small (<= max_queries, enforced by a bounded collect)."""
     import json as _json
     from pathlib import Path
 
     from ..sources import manifest
 
+    spark = queries.sparkSession
     snap = manifest.load_snapshot(root)
     version = snap["version"]
     cb = _ivf_load_codebook(root, version)
@@ -774,8 +946,27 @@ def ivfpq_topk(
         ).read_text()
     )
     books = np.asarray(pq["books"], dtype=np.float64)
+    is_residual = bool(pq.get("residual"))
     m, k, dsub = books.shape
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk broadcasts per-query ADC tables; got > "
+            f"{max_queries} query rows — pre-aggregate or raise "
+            "max_queries explicitly"
+        )
+    if not qrows:
+        table_schema = ivf_read_corpus(spark, root, [], version=version).schema
+        return _empty_topk(
+            spark,
+            queries.schema[query_id_col].dataType,
+            table_schema[cb["id_col"]].dataType,
+            "score",
+        )
     qids = [r[query_id_col] for r in qrows]
     qv = np.array(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
@@ -786,13 +977,35 @@ def ivfpq_topk(
     cn = cb["centroids"] / np.linalg.norm(
         cb["centroids"], axis=1, keepdims=True
     )
-    order = np.argsort(-(qvn @ cn.T), axis=1)[:, :n_probe]
+    qdotc = qvn @ cn.T  # (nq, n_lists): the exact coarse term
+    order = np.argsort(-qdotc, axis=1)[:, :n_probe]
     pair_rows = [
-        (qid, int(lst)) for qid, lists in zip(qids, order) for lst in lists
+        (
+            qid,
+            int(lst),
+            float(qdotc[i, lst]) if is_residual else 0.0,
+        )
+        for i, (qid, lists) in enumerate(zip(qids, order))
+        for lst in lists
     ]
-    spark = queries.sparkSession
-    q_l = spark.createDataFrame(pair_rows, ["_qid", "_list"])
-    probe = sorted({lst for _, lst in pair_rows})
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType as _LT,
+        StructField,
+        StructType,
+    )
+
+    q_l = spark.createDataFrame(
+        pair_rows,
+        StructType(
+            [
+                StructField("_qid", queries.schema[query_id_col].dataType),
+                StructField("_list", _LT()),
+                StructField("_bias", DoubleType()),
+            ]
+        ),
+    )
+    probe = sorted({lst for _, lst, _ in pair_rows})
     pruned = ivf_read_corpus(spark, root, probe, version=version)
     cand = pruned.select(
         F.col(cb["id_col"]).alias("_cid"), "_codes", "_list"
@@ -814,16 +1027,58 @@ def ivfpq_topk(
         for g, key in enumerate(uniq):
             mask = grp == g
             out[mask] = tabs[key][sub[None, :], cmat[mask]].sum(axis=1)
-        return pd.Series(np.round(out, 6))
+        return pd.Series(out)
 
-    scored = cand.withColumn("score", adc(F.col("_qid"), F.col("_codes"))).filter(
-        F.col("_cid") != F.col("_qid")
-    )
+    scored = cand.withColumn(
+        "score",
+        F.round(F.col("_bias") + adc(F.col("_qid"), F.col("_codes")), 6),
+    ).filter(F.col("_cid") != F.col("_qid"))
     w = Window.partitionBy("_qid").orderBy(
         F.col("score").desc(), F.col("_cid").asc()
     )
-    return (
+    if rerank_corpus is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select(
+                F.col("_qid").alias("query_id"),
+                F.col("_cid").alias("vec_id"),
+                "score",
+                "rank",
+            )
+        )
+    n_short = shortlist if shortlist is not None else max(4 * topk, 50)
+    short = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_short)
+        .select("_qid", "_cid")
+    )
+    from pyspark.sql.types import ArrayType as _AT
+
+    qvec_df = spark.createDataFrame(
+        [(qid, qvn[i].tolist()) for i, qid in enumerate(qids)],
+        StructType(
+            [
+                StructField("_qid", queries.schema[query_id_col].dataType),
+                StructField("_qv", _AT(DoubleType())),
+            ]
+        ),
+    )
+    cvec = rerank_corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    # the shortlist (nq x n_short ids) is the broadcast side; the cold
+    # vector table streams through the join untouched otherwise
+    rescored = (
+        cvec.join(F.broadcast(short), "_cid")
+        .join(F.broadcast(qvec_df), "_qid")
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w2 = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_cid").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= topk)
         .select(
             F.col("_qid").alias("query_id"),

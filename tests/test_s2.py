@@ -384,6 +384,26 @@ class TestSparkSurface:
             assert r.back == r.c  # token round-trip exact
             assert r.lvl == 12  # native level == encode level
 
+    def test_level_int_all_levels(self, spark):
+        """s2_level_int at EVERY level 0..30: the log2-based ctz must
+        round (not truncate) so a sub-ulp-low libm log2 can never slip
+        one level — this sweeps every lsb position the math can see."""
+        from pyspark.sql import functions as F
+
+        from sparkh3 import functions as H3F
+        from sparkh3.kernel import s2
+
+        rows = []
+        for lvl in range(31):
+            cell = s2.latlng_to_cell(
+                np.array([37.7 + lvl * 0.3]), np.array([-122.4 + lvl * 0.7]), lvl
+            )
+            rows.append((lvl, int(np.int64(cell[0].view(np.int64)))))
+        df = spark.createDataFrame(rows, "expected: int, c: long")
+        got = df.withColumn("lvl", H3F.s2_level_int(F.col("c"))).collect()
+        for r in got:
+            assert r.lvl == r.expected, (r.expected, r.lvl)
+
     def test_parent_null_safe(self, spark):
         from pyspark.sql import functions as F
 
