@@ -92,6 +92,21 @@ _PIP_POLYS = [
     ("tri_south", [(-40.0, -60.0), (-40.0, -40.0), (-20.0, -50.0)]),
 ]
 
+# (name, shell, hole) — convex CCW rings so the residual stays an AND
+# of half-plane sign tests (shell) AND NOT (hole), identically in SQL
+_PIP_HOLED = [
+    (
+        "eu_ring",
+        [(45.0, -5.0), (45.0, 15.0), (55.0, 15.0), (55.0, -5.0)],
+        [(48.0, 2.0), (48.0, 8.0), (52.0, 8.0), (52.0, 2.0)],
+    ),
+    (
+        "nyc_ring",
+        [(37.0, -77.0), (37.0, -70.0), (44.0, -70.0), (44.0, -77.0)],
+        [(39.0, -75.0), (39.0, -72.0), (42.0, -72.0), (42.0, -75.0)],
+    ),
+]
+
 
 def _halfplane_sql(verts: list[tuple[float, float]], lat: str, lng: str) -> str:
     """AND of CCW half-plane sign tests — planar convex PIP, written
@@ -106,6 +121,61 @@ def _halfplane_sql(verts: list[tuple[float, float]], lat: str, lng: str) -> str:
             f"({y2} - {y1}) * (({lng}) - {x1})) >= 0.0"
         )
     return " AND ".join(conds)
+
+
+_ZONE_CSV = "/tmp/sparkh3_ingest/nation_zones.csv"
+
+
+def _ensure_zone_csv() -> str:
+    """Deterministic CSV dimension twin (nation key -> zone, weight) —
+    synthesized from closed-form integer arithmetic, so the Spark query
+    and the DuckDB oracle can BOTH materialize it idempotently (atomic
+    write + rename; whichever side runs first creates it, re-runs see
+    identical bytes). This is the CSV ingestion lane's driver fixture:
+    the reference's own notebooks start from CSV
+    (/root/reference/notebook/00-intro.ipynb cell 5)."""
+    import os
+    import tempfile
+
+    if not os.path.exists(_ZONE_CSV):
+        os.makedirs(os.path.dirname(_ZONE_CSV), exist_ok=True)
+        lines = ["n_nationkey,zone,weight"]
+        for k in range(25):
+            lines.append(f"{k},z{k % 5},{(k * 7 + 3) % 100}")
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_ZONE_CSV))
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, _ZONE_CSV)
+    return _ZONE_CSV
+
+
+def q_csv_ingest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV source lane end-to-end: ``sources.ingest.read_any`` with
+    a DECLARED schema (single-pass scan, no inference) reads the
+    deterministic zone dimension CSV, broadcasts it into the parquet
+    customer fact scan, and aggregates per zone — mixed-format join,
+    CSV strictly on the broadcast side (the 100 TB shape: CSV is an
+    ingestion format; facts stay parquet)."""
+    from sparkh3.sources import ingest
+
+    dim = ingest.read_any(
+        spark,
+        _ensure_zone_csv(),
+        schema="n_nationkey bigint, zone string, weight bigint",
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    return (
+        cust.join(
+            F.broadcast(dim), cust.c_nationkey == dim.n_nationkey
+        )
+        .groupBy("zone")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("weight").alias("tot_weight"),
+        )
+    )
 
 
 def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +471,70 @@ def q_s2_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = cond if pred is None else (pred | cond)
     # interior cells (kernel-proven inside) bypass the half-plane
     # residual — only boundary cells evaluate it; results identical
+    return (
+        cand.filter(F.col("_interior") | pred)
+        .groupBy("poly")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_s2_pip_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region point counts for HOLED polygons via the S2 ring-list
+    covering (kernel/s2.py polygon_covering_classified([shell, hole]) —
+    even-odd, holes subtract; reference hole-case analog
+    tests/util/test_shapely.py:50-53): cells proven fully inside the
+    hole are dropped from the cover before the join, interior cells
+    (inside shell, disjoint from hole) bypass the residual, and only
+    the hole-adjacent + shell-boundary band pays the exact planar test
+    (shell half-planes AND NOT hole half-planes — the SQL twin is the
+    same expression). 100 TB shape matches s2_pip_count: one int64
+    ancestor per point, tiny broadcast covering, no point-side
+    shuffle — the hole only shrinks the broadcast."""
+    import numpy as np
+
+    from sparkh3.kernel import s2 as s2k
+
+    level = 7
+    rows = []
+    for name, shell, hole in _PIP_HOLED:
+        cells, interior = s2k.polygon_covering_classified(
+            [shell, hole], level
+        )
+        for c, isin in zip(cells.view(np.int64), interior):
+            rows.append((name, int(c), bool(isin)))
+    cov = spark.createDataFrame(
+        rows, "poly string, s2_07 long, _interior boolean"
+    )
+    pts = _docs_points(spark, sf_dir)
+    enc = pts.withColumn(
+        "s2_07",
+        H3F.s2_parent_int(
+            H3F.latlng_to_s2_udf(14)(F.col("lat"), F.col("lng")), level
+        ),
+    )
+    cand = enc.join(F.broadcast(cov), "s2_07")
+
+    def ring_cond(verts):
+        cond = None
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            c = (
+                F.lit(x2 - x1) * (F.col("lat") - F.lit(y1))
+                - F.lit(y2 - y1) * (F.col("lng") - F.lit(x1))
+            ) >= F.lit(0.0)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    pred = None
+    for name, shell, hole in _PIP_HOLED:
+        cond = (
+            (F.col("poly") == name)
+            & ring_cond(shell)
+            & ~ring_cond(hole)
+        )
+        pred = cond if pred is None else (pred | cond)
     return (
         cand.filter(F.col("_interior") | pred)
         .groupBy("poly")
@@ -1084,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rect_count": q_s2_rect_count,
         "s2_cap_count": q_s2_cap_count,
         "s2_pip_count": q_s2_pip_count,
+        "s2_pip_holed": q_s2_pip_holed,
         "pip_join_rect": q_pip_join_rect,
         "knn": q_knn,
         "dedup_exact": q_dedup_exact,
@@ -1091,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine": q_ann_cosine,
         "tpch_pricing": q_tpch_pricing,
+        "csv_ingest_join": q_csv_ingest_join,
         "top_orders_per_segment": q_top_orders_per_segment,
         "events_top_per_user": q_events_top_per_user,
         "spans_stats": q_spans_stats,
@@ -1197,6 +1333,16 @@ def oracle_sql() -> dict[str, str]:
                 for name, verts in _PIP_POLYS
             )
         ),
+        "s2_pip_holed": (
+            f"WITH pts AS ({pts}) "
+            + " UNION ALL ".join(
+                f"SELECT '{name}' AS poly, count(*) AS n_docs FROM pts "
+                f"WHERE ({_halfplane_sql(shell, 'lat', 'lng')}) "
+                f"AND NOT ({_halfplane_sql(hole, 'lat', 'lng')}) "
+                "HAVING count(*) > 0"
+                for name, shell, hole in _PIP_HOLED
+            )
+        ),
         "pip_join_rect": (
             f"WITH pts AS ({pts}), rects AS ({rect_union}) "
             "SELECT p.doc_id, r.poly_id FROM pts p JOIN rects r "
@@ -1248,6 +1394,13 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank "
             "FROM scored) "
             "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "csv_ingest_join": (
+            "SELECT z.zone AS zone, count(*) AS n_cust, "
+            "CAST(sum(z.weight) AS BIGINT) AS tot_weight "
+            f"FROM customer c JOIN read_csv('{_ensure_zone_csv()}', "
+            "header=true) z ON c.c_nationkey = z.n_nationkey "
+            "GROUP BY z.zone"
         ),
         "tpch_pricing": (
             "SELECT l_returnflag, l_linestatus, "

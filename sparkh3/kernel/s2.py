@@ -592,24 +592,98 @@ def _polygon_covering_parsed(
     return np.sort(frontier[_may_intersect_poly(frontier, plat, plng)])
 
 
-def polygon_covering(ring, level: int) -> np.ndarray:
-    """All cells at `level` that may intersect the simple polygon whose
-    outer ring is ``ring`` (sequence of (lat, lng) vertices, closed or
-    open) — a guaranteed superset of the cells intersecting it, with the
-    same fixed-level BFS-subdivide contract as ``rect_covering`` /
-    ``cap_covering``. The polygon boundary is interpreted PLANARLY in
-    lat/lng space (straight edges), matching a SQL ray-cast residual on
-    the same coordinates — the covering prunes, the residual filter is
-    what decides membership. Holes only shrink a region, so covering the
-    outer ring alone stays a superset. Antimeridian-crossing rings may
-    be given in continuous longitude (e.g. 170..190).
+def _parse_region(rings) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Accept a bare ring (sequence of (lat, lng) points) OR a ring list
+    ``[shell, hole1, ...]``; return [(plat, plng), ...] with the shell
+    first. A bare ring materializes as an (n, 2) float array; anything
+    else (ragged or 3-d) is a ring list."""
+    items = list(rings)
+    if not items:
+        raise ValueError("polygon needs at least one ring")
+    is_bare = False
+    try:
+        arr = np.asarray(items, dtype=np.float64)
+        is_bare = arr.ndim == 2 and arr.shape[1] == 2
+    except (ValueError, TypeError):
+        pass
+    if is_bare:
+        return [_parse_ring(items)]
+    return [_parse_ring(r) for r in items]
+
+
+def _hull_vs_holes(cov: np.ndarray, holes) -> tuple[np.ndarray, np.ndarray]:
+    """(fully_in_hole, touches_hole) masks of the cover cells' expanded
+    hulls vs every hole ring, at the same ±360 longitude offsets the
+    shell tests use. ``fully_in_hole`` is exact-on-a-superset: the hull
+    contains the cell, so a hull inside a hole proves the CELL is inside
+    it (droppable from the cover); ``touches_hole`` is conservative the
+    other way (any contact demotes interior to boundary). Full-longitude
+    (near-pole) hulls are never droppable and always count as touching
+    if any hole exists — conservative on both sides."""
+    n = len(cov)
+    fully = np.zeros(n, dtype=bool)
+    touch = np.zeros(n, dtype=bool)
+    if not holes or n == 0:
+        return fully, touch
+    lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
+    touch[full] = True
+    nf = np.flatnonzero(~full)
+    for hlat, hlng in holes:
+        f_h = np.zeros(len(nf), dtype=bool)
+        t_h = np.zeros(len(nf), dtype=bool)
+        for off in (-360.0, 0.0, 360.0):
+            args = (
+                c_lo[nf],
+                c_lo[nf] + span[nf],
+                lat_min[nf],
+                lat_max[nf],
+                hlng + off,
+                hlat,
+            )
+            f_h |= _rect_inside_poly(*args)
+            t_h |= _rect_poly_intersect(*args)
+        fully[nf] |= f_h
+        touch[nf] |= t_h
+    return fully, touch
+
+
+def polygon_covering(rings, level: int) -> np.ndarray:
+    """All cells at `level` that may intersect the polygon ``rings`` —
+    either a bare outer ring (sequence of (lat, lng) vertices, closed or
+    open) or a ring list ``[shell, hole1, ...]`` (even-odd, holes
+    subtract) — a guaranteed superset of the cells intersecting the
+    region, with the same fixed-level BFS-subdivide contract as
+    ``rect_covering`` / ``cap_covering``. The polygon boundary is
+    interpreted PLANARLY in lat/lng space (straight edges), matching a
+    SQL ray-cast residual on the same coordinates — the covering
+    prunes, the residual filter is what decides membership. Cells
+    PROVEN fully inside a hole (exact planar test on the conservative
+    hull, which contains the cell) cannot touch the region and are
+    dropped; any other hole contact keeps the cell — still a superset.
+    Antimeridian-crossing rings may be given in continuous longitude
+    (e.g. 170..190).
 
     This closes the H3<->S2 asymmetry: the S2 analog of polyfill's
-    candidate generation (reference h3pandas/util/shapely.py:12-34),
-    feeding the same `s2_parent_int` covering joins and `merge_ranges`
-    manifest pruning as the rect/cap coverers."""
-    plat, plng = _parse_ring(ring)
-    return _polygon_covering_parsed(plat, plng, level)
+    candidate generation (reference h3pandas/util/shapely.py:12-34,
+    hole case tests/util/test_shapely.py:50-53), feeding the same
+    `s2_parent_int` covering joins and `merge_ranges` manifest pruning
+    as the rect/cap coverers."""
+    parsed = _parse_region(rings)
+    plat, plng = parsed[0]
+    cov = _polygon_covering_parsed(plat, plng, level)
+    fully, _ = _hull_vs_holes(cov, parsed[1:])
+    return cov[~fully]
+
+
+def multipolygon_covering(polys, level: int) -> np.ndarray:
+    """Union covering of a MultiPolygon (iterable of polygons, each a
+    bare ring or ``[shell, holes...]`` ring list): the deduplicated
+    union of the per-part coverings — a superset of cells intersecting
+    any part."""
+    parts = [polygon_covering(p, level) for p in polys]
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
 
 
 def rect_covering_classified(
@@ -650,13 +724,18 @@ def _rect_inside_poly(
 
 
 def polygon_covering_classified(
-    ring, level: int
+    rings, level: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """``polygon_covering`` plus an interior mask (cell's conservative
-    hull proven fully inside the planar ring at some ±360 longitude
-    offset) — same skip-the-residual contract as
-    ``rect_covering_classified``."""
-    plat, plng = _parse_ring(ring)
+    hull proven fully inside the planar shell at some ±360 longitude
+    offset AND disjoint from every hole) — same skip-the-residual
+    contract as ``rect_covering_classified``. With holes: a cell fully
+    inside a hole is dropped from the cover (it cannot touch the
+    region); a cell its hull shows touching a hole at all is demoted to
+    boundary (the residual ray cast, which ray-casts shell and holes
+    together even-odd, decides its points)."""
+    parsed = _parse_region(rings)
+    plat, plng = parsed[0]
     cov = _polygon_covering_parsed(plat, plng, level)
     lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
     interior = np.zeros(len(cov), dtype=bool)
@@ -670,7 +749,38 @@ def polygon_covering_classified(
             plng + off,
             plat,
         )
-    return cov, interior
+    fully, touch = _hull_vs_holes(cov, parsed[1:])
+    interior &= ~touch
+    keep = ~fully
+    return cov[keep], interior[keep]
+
+
+def multipolygon_covering_classified(
+    polys, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union covering of a MultiPolygon with interior classification.
+    A cell is interior only if it is interior to SOME part and appears
+    in exactly ONE part's cover — under the even-odd residual semantics
+    an overlap between parts subtracts, so any cell touched by two
+    parts stays boundary (conservative; valid MultiPolygons have
+    disjoint parts and lose nothing)."""
+    covs: list[np.ndarray] = []
+    ints: list[np.ndarray] = []
+    for p in polys:
+        c, i = polygon_covering_classified(p, level)
+        covs.append(c)
+        ints.append(i)
+    if not covs:
+        e = np.array([], dtype=np.uint64)
+        return e, np.array([], dtype=bool)
+    allc = np.concatenate(covs)
+    alli = np.concatenate(ints)
+    uniq, inv, counts = np.unique(
+        allc, return_inverse=True, return_counts=True
+    )
+    inter_any = np.zeros(len(uniq), dtype=bool)
+    np.logical_or.at(inter_any, inv, alli)
+    return uniq, inter_any & (counts == 1)
 
 
 def merge_ranges(cells) -> tuple[np.ndarray, np.ndarray]:
