@@ -148,3 +148,46 @@ def test_bm25_single_tokenize_pass_via_exchange_reuse(spark):
     out.collect()
     plan = _plan(out)
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_csv_ingest_join_broadcasts_dim_no_fact_shuffle(spark):
+    """The CSV lane's 100 TB claim: the CSV dimension is the broadcast
+    side, the parquet fact side reaches the join without a hash
+    exchange (the only hash exchange is the final per-zone aggregate),
+    and the declared schema means the scan is a CSV FileScan (no
+    inference subplan)."""
+    q = E.q_csv_ingest_join(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "csv" in plan.lower(), plan
+
+
+def test_s2_pip_holed_point_side_never_shuffles(spark):
+    """Holed-polygon covering join keeps the s2_pip_count shape: the
+    ring-list covering broadcasts, points never hash-shuffle before the
+    final tiny per-polygon count."""
+    q = E.q_s2_pip_holed(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ivfpq_rerank_shortlist_broadcasts(spark, tmp_path):
+    """The IVFPQ re-rank composition: the ADC shortlist and the query
+    vectors are BOTH broadcast into the cold vector table's scan — the
+    corpus is never hash-shuffled to meet the shortlist."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "ivfpq_plan")
+    similarity.ivfpq_write_corpus(emb, root, n_lists=4, m=8, k=16)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivfpq_topk(
+        queries, root, topk=5, n_probe=2, rerank_corpus=emb, shortlist=20
+    )
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the only hash exchanges are the two top-k windows (ADC shortlist
+    # + re-rank), never a corpus-vs-shortlist join shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
