@@ -596,7 +596,17 @@ def _parse_region(rings) -> list[tuple[np.ndarray, np.ndarray]]:
     """Accept a bare ring (sequence of (lat, lng) points) OR a ring list
     ``[shell, hole1, ...]``; return [(plat, plng), ...] with the shell
     first. A bare ring materializes as an (n, 2) float array; anything
-    else (ragged or 3-d) is a ring list."""
+    else (ragged or 3-d) is a ring list.
+
+    Ring lists follow the GeoJSON/shapely polygon contract: rings after
+    the shell are holes INSIDE the shell, pairwise disjoint, not
+    nested. Nesting (an island inside a hole) must be a separate
+    MultiPolygon part — under nesting, 'fully inside a hole' would no
+    longer prove a cell outside the region, so the covering's drop rule
+    would break. Nested holes are rejected (first-vertex containment
+    check — full nesting always puts every vertex inside, so this
+    catches it; partially overlapping holes are invalid input and only
+    best-effort detected)."""
     items = list(rings)
     if not items:
         raise ValueError("polygon needs at least one ring")
@@ -608,24 +618,53 @@ def _parse_region(rings) -> list[tuple[np.ndarray, np.ndarray]]:
         pass
     if is_bare:
         return [_parse_ring(items)]
-    return [_parse_ring(r) for r in items]
+    parsed = [_parse_ring(r) for r in items]
+    holes = parsed[1:]
+    for i, (alat, alng) in enumerate(holes):
+        for j, (blat, blng) in enumerate(holes):
+            if i == j:
+                continue
+            inside = False
+            for off in (-360.0, 0.0, 360.0):
+                inside |= bool(
+                    _point_in_ring(
+                        np.array([blng[0]]),
+                        np.array([blat[0]]),
+                        alng + off,
+                        alat,
+                    )[0]
+                )
+            if inside:
+                raise ValueError(
+                    f"nested rings: hole {j + 1}'s vertex lies inside "
+                    f"hole {i + 1} — holes must be pairwise disjoint "
+                    "(GeoJSON polygon contract); express "
+                    "islands-in-holes as separate MultiPolygon parts"
+                )
+    return parsed
 
 
-def _hull_vs_holes(cov: np.ndarray, holes) -> tuple[np.ndarray, np.ndarray]:
+def _hull_vs_holes(
+    cov: np.ndarray, holes, hull=None
+) -> tuple[np.ndarray, np.ndarray]:
     """(fully_in_hole, touches_hole) masks of the cover cells' expanded
     hulls vs every hole ring, at the same ±360 longitude offsets the
     shell tests use. ``fully_in_hole`` is exact-on-a-superset: the hull
     contains the cell, so a hull inside a hole proves the CELL is inside
-    it (droppable from the cover); ``touches_hole`` is conservative the
-    other way (any contact demotes interior to boundary). Full-longitude
-    (near-pole) hulls are never droppable and always count as touching
-    if any hole exists — conservative on both sides."""
+    it (droppable from the cover — sound because holes are non-nested
+    per the _parse_region contract); ``touches_hole`` is conservative
+    the other way (any contact demotes interior to boundary).
+    Full-longitude (near-pole) hulls are never droppable and always
+    count as touching if any hole exists — conservative on both sides.
+    ``hull`` passes a precomputed ``_cell_hull(cov)`` tuple."""
     n = len(cov)
     fully = np.zeros(n, dtype=bool)
     touch = np.zeros(n, dtype=bool)
     if not holes or n == 0:
         return fully, touch
-    lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
+    lat_min, lat_max, c_lo, span, full = (
+        hull if hull is not None else _cell_hull(cov)
+    )
     touch[full] = True
     nf = np.flatnonzero(~full)
     for hlat, hlng in holes:
@@ -650,9 +689,11 @@ def _hull_vs_holes(cov: np.ndarray, holes) -> tuple[np.ndarray, np.ndarray]:
 def polygon_covering(rings, level: int) -> np.ndarray:
     """All cells at `level` that may intersect the polygon ``rings`` —
     either a bare outer ring (sequence of (lat, lng) vertices, closed or
-    open) or a ring list ``[shell, hole1, ...]`` (even-odd, holes
-    subtract) — a guaranteed superset of the cells intersecting the
-    region, with the same fixed-level BFS-subdivide contract as
+    open) or a ring list ``[shell, hole1, ...]`` (holes subtract;
+    GeoJSON contract — holes inside the shell, pairwise disjoint,
+    non-nested, enforced by ``_parse_region``; islands-in-holes are
+    MultiPolygon parts) — a guaranteed superset of the cells
+    intersecting the region, with the same fixed-level BFS-subdivide contract as
     ``rect_covering`` / ``cap_covering``. The polygon boundary is
     interpreted PLANARLY in lat/lng space (straight edges), matching a
     SQL ray-cast residual on the same coordinates — the covering
@@ -749,7 +790,9 @@ def polygon_covering_classified(
             plng + off,
             plat,
         )
-    fully, touch = _hull_vs_holes(cov, parsed[1:])
+    fully, touch = _hull_vs_holes(
+        cov, parsed[1:], hull=(lat_min, lat_max, c_lo, span, full)
+    )
     interior &= ~touch
     keep = ~fully
     return cov[keep], interior[keep]

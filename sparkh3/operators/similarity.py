@@ -157,10 +157,10 @@ def cosine_neardup_pairs(
     return out.select("id_a", "id_b", "sim")
 
 
-def _normalized_valid_batch(vec: pd.Series):
-    """(emb, idx): stacked L2-normalized non-null vectors and their
-    input positions — the shared scaffold of every batch-vector UDF
-    (null masking + norm clamping live in exactly one place)."""
+def _valid_batch(vec: pd.Series):
+    """(emb, idx): stacked non-null vectors and their input positions —
+    the shared null-masking scaffold of every batch-vector UDF (it
+    lives in exactly one place)."""
     rows = [
         np.asarray(v, dtype=np.float64) if v is not None else None
         for v in vec
@@ -168,7 +168,15 @@ def _normalized_valid_batch(vec: pd.Series):
     idx = [i for i, r in enumerate(rows) if r is not None]
     if not idx:
         return None, idx
-    emb = np.stack([rows[i] for i in idx])
+    return np.stack([rows[i] for i in idx]), idx
+
+
+def _normalized_valid_batch(vec: pd.Series):
+    """``_valid_batch`` plus L2 normalization (norm clamping lives in
+    exactly one place)."""
+    emb, idx = _valid_batch(vec)
+    if not idx:
+        return emb, idx
     emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     return emb, idx
 
@@ -215,6 +223,7 @@ def ivf_train_centroids(
 
     seeds = (
         corpus.select(F.col(vec_col).alias("_v"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .filter(F.col("_v").isNotNull())
         .orderBy("_h")
         .limit(n_lists)
         .collect()
@@ -235,7 +244,10 @@ def ivf_train_centroids(
         assigned = corpus.select(
             F.col(vec_col).alias("_v"),
             F.element_at(assign(F.col(vec_col)), 1).alias("_list"),
-        )
+        # null embeddings assign no list; without this filter they form
+        # a null group whose mean_of emits a scalar NaN where an array
+        # is expected (worker-side Arrow conversion crash)
+        ).filter(F.col("_list").isNotNull())
         rows = assigned.groupBy("_list").applyInPandas(mean_of, schema).collect()
         for r in rows:
             cents[int(r["_list"])] = np.asarray(r["_mean"], dtype=np.float64)
@@ -254,6 +266,7 @@ def ivf_cosine_topk(
     query_vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     table_root: str | None = None,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus rows land in ONE centroid list
     (narrow int64 key), queries probe their `n_probe` nearest lists,
@@ -278,21 +291,72 @@ def ivf_cosine_topk(
         # new data files (same single-version rule as ivfpq_topk)
         from ..sources import manifest
 
+        spark = queries.sparkSession
         version = manifest.load_snapshot(table_root)["version"]
         cb = _ivf_load_codebook(table_root, version)
         centroids = cb["centroids"]
-        q_assign = _ivf_assign_udf(centroids, n_probe)
-        # persist: the assignment UDF output feeds BOTH the probe-set
-        # collect and the broadcast join — without it the whole query
-        # scan + assignment would run twice
-        q_l = q.select(
-            "_qid", "_qv", F.explode(q_assign(F.col("_qv"))).alias("_list")
-        ).persist()
-        # the probe set is <= n_lists small ints (codebook-sized — the
-        # driver already holds the codebook by design)
-        probe = [r[0] for r in q_l.select("_list").distinct().collect()]
+        # the query side is broadcast into the probed lists downstream,
+        # so it is driver-bounded by construction — collect it ONCE
+        # (bounded) and assign lists driver-side with the same
+        # normalized-matmul + argsort the Arrow UDF uses; this replaces
+        # the old persist()-without-unpersist of the assignment scan
+        # (one leaked cached Dataset per call) and its second scan
+        qrows = q.limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                "ivf_cosine_topk(table_root=...) broadcasts the query "
+                f"side; got > {max_queries} rows — pre-aggregate or "
+                "raise max_queries explicitly"
+            )
+        if not qrows:
+            table_schema = ivf_read_corpus(
+                spark, table_root, [], version=version
+            ).schema
+            return _empty_topk(
+                spark,
+                queries.schema[query_id_col].dataType,
+                table_schema[cb["id_col"]].dataType,
+                "sim",
+            )
+        if any(r["_qv"] is None for r in qrows):
+            raise ValueError(
+                "ivf_cosine_topk: query side contains null embeddings "
+                f"— filter {query_vec_col} IS NOT NULL first"
+            )
+        qv = np.array(
+            [np.asarray(r["_qv"], dtype=np.float64) for r in qrows]
+        )
+        qvn = qv / np.maximum(
+            np.linalg.norm(qv, axis=1, keepdims=True), 1e-12
+        )
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        order = np.argsort(-(qvn @ cn.T), axis=1)[:, :n_probe]
+        from pyspark.sql.types import (
+            ArrayType as _AT,
+            DoubleType as _DT,
+            LongType as _LT,
+            StructField as _SF,
+            StructType as _ST,
+        )
+
+        pair_rows = [
+            (r["_qid"], [float(x) for x in r["_qv"]], int(lst))
+            for r, lists in zip(qrows, order)
+            for lst in lists
+        ]
+        q_l = spark.createDataFrame(
+            pair_rows,
+            _ST(
+                [
+                    _SF("_qid", queries.schema[query_id_col].dataType),
+                    _SF("_qv", _AT(_DT())),
+                    _SF("_list", _LT()),
+                ]
+            ),
+        )
+        probe = sorted({int(lst) for lists in order for lst in lists})
         c_l = ivf_read_corpus(
-            queries.sparkSession, table_root, probe, version=version
+            spark, table_root, probe, version=version
         ).select(
             F.col(cb["id_col"]).alias("_cid"),
             F.col(cb["vec_col"]).alias("_cv"),
@@ -575,6 +639,10 @@ def pq_train(
             F.col(vec_col).alias("_v"),
             F.xxhash64(F.col(id_col)).alias("_h"),
         )
+        # null embeddings carry no training signal and would make the
+        # driver-side sample stack ragged — same drop rule the layout
+        # write applies
+        .filter(F.col("_v").isNotNull())
         .orderBy("_h")
         .limit(max(k * 64, 1024))
         .collect()
@@ -620,12 +688,7 @@ def pq_encode_udf(codebooks: np.ndarray, normalize: bool = True):
         if normalize:
             emb, idx = _normalized_valid_batch(vec)
         else:
-            rows = [
-                np.asarray(v, dtype=np.float64) if v is not None else None
-                for v in vec
-            ]
-            idx = [i for i, r in enumerate(rows) if r is not None]
-            emb = np.stack([rows[i] for i in idx]) if idx else None
+            emb, idx = _valid_batch(vec)
         if idx:
             codes = np.empty((len(idx), m), dtype=np.int64)
             for s in range(m):
@@ -710,6 +773,11 @@ def pq_topk(
             queries.schema[query_id_col].dataType,
             corpus.schema[id_col].dataType,
             "score",
+        )
+    if any(r[query_vec_col] is None for r in qrows):
+        raise ValueError(
+            "pq_topk: query side contains null embeddings — filter "
+            f"{query_vec_col} IS NOT NULL first"
         )
     qids = [r[query_id_col] for r in qrows]
     qv = np.array(
@@ -838,7 +906,14 @@ def ivfpq_write_corpus(
     import json as _json
     from pathlib import Path
 
-    dim = len(corpus.select(vec_col).first()[0])
+    dim_row = (
+        corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    )
+    if dim_row is None:
+        raise ValueError(
+            "ivfpq_write_corpus: corpus has no non-null embeddings"
+        )
+    dim = len(dim_row[0])
     cents = ivf_train_centroids(corpus, n_lists, id_col, vec_col)
     cn = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
@@ -861,22 +936,29 @@ def ivfpq_write_corpus(
                 res[i] = r[j].tolist()
         return pd.Series(res)
 
+    # persist: the assignment + residual UDF pass feeds BOTH the
+    # pq_train sample collect and the manifest write — without it the
+    # dominant Python-UDF cost of the write path runs twice
     resd = listed.withColumn(
         "_res", residual(F.col(vec_col), F.col("_list"))
-    )
-    books = pq_train(
-        resd, dim, m=m, k=k, id_col=id_col, vec_col="_res",
-        refine_iters=pq_refine_iters, normalize=False,
-    )
-    coded = resd.withColumn(
-        "_codes", pq_encode_udf(books, normalize=False)(F.col("_res"))
-    ).drop("_res")
-    # codes replace vectors at rest (the point of PQ): the table stores
-    # m small ints per row; raw vectors stay in the source/cold table
-    snap = ivf_write_corpus(
-        coded, root, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
-        centroids=cents, store_vec=False, list_col="_list",
-    )
+    ).persist()
+    try:
+        books = pq_train(
+            resd, dim, m=m, k=k, id_col=id_col, vec_col="_res",
+            refine_iters=pq_refine_iters, normalize=False,
+        )
+        coded = resd.withColumn(
+            "_codes", pq_encode_udf(books, normalize=False)(F.col("_res"))
+        ).drop("_res")
+        # codes replace vectors at rest (the point of PQ): the table
+        # stores m small ints per row; raw vectors stay in the
+        # source/cold table
+        snap = ivf_write_corpus(
+            coded, root, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+            centroids=cents, store_vec=False, list_col="_list",
+        )
+    finally:
+        resd.unpersist()
     (
         Path(root) / "metadata" / f"pq_codebook_v{snap['version']}.json"
     ).write_text(
@@ -966,6 +1048,11 @@ def ivfpq_topk(
             queries.schema[query_id_col].dataType,
             table_schema[cb["id_col"]].dataType,
             "score",
+        )
+    if any(r[query_vec_col] is None for r in qrows):
+        raise ValueError(
+            "ivfpq_topk: query side contains null embeddings — filter "
+            f"{query_vec_col} IS NOT NULL first"
         )
     qids = [r[query_id_col] for r in qrows]
     qv = np.array(

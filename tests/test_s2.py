@@ -301,6 +301,22 @@ class TestCovering:
         )
         assert (via == ins).all()
 
+    def test_nested_holes_rejected(self):
+        """Islands-in-holes violate the GeoJSON polygon contract the
+        drop rule relies on ('fully inside a hole' must prove a cell is
+        outside the region) — nested rings raise instead of silently
+        under-covering."""
+        shell = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+        hole = [(2.0, 2.0), (2.0, 8.0), (8.0, 8.0), (8.0, 2.0)]
+        island = [(4.0, 4.0), (4.0, 6.0), (6.0, 6.0), (6.0, 4.0)]
+        with pytest.raises(ValueError, match="MultiPolygon"):
+            s2.polygon_covering([shell, hole, island], 8)
+        with pytest.raises(ValueError, match="MultiPolygon"):
+            s2.polygon_covering_classified([shell, hole, island], 8)
+        # disjoint holes stay fine
+        h2 = [(1.0, 8.5), (1.0, 9.5), (2.0, 9.5), (2.0, 8.5)]
+        assert len(s2.polygon_covering([shell, hole, h2], 8)) > 0
+
     def test_multipolygon_covering(self):
         """MultiPolygon union covering (holed part + plain part):
         equals the deduplicated union of per-part coverings, and the

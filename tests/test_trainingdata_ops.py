@@ -558,20 +558,41 @@ class TestSimilarity:
         ).collect()
         qrows = queries.collect()
         m, kk, dsub = books.shape
+        # mirror the ENGINE's exact float paths: one (nq,dim)x(dim,nl)
+        # matmul for the coarse biases, the same full qsc einsum for the
+        # ADC tables, and Spark F.round's HALF_UP decimal rounding (a
+        # per-query dot + Python banker's round() could differ by 1 ulp
+        # / flip a .5 tie and flake the exact-set assertion)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def spark_round6(x: float) -> float:
+            return float(
+                Decimal(repr(float(x))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        qmat = np.array(
+            [np.asarray(q.embedding, dtype=np.float64) for q in qrows]
+        )
+        qmat = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+        qdotc = qmat @ cn.T
+        tabs_all = np.einsum(
+            "qsd,scd->qsc", qmat.reshape(len(qrows), m, dsub), books
+        )
         expected = set()
-        for q in qrows:
-            qv = np.asarray(q.embedding, dtype=np.float64)
-            qvn = qv / np.linalg.norm(qv)
-            tabs = np.einsum("sd,scd->sc", qvn.reshape(m, dsub), books)
+        for qi, q in enumerate(qrows):
             scored = []
             for r in stored:
                 if r.vec_id == q.query_id:
                     continue
                 codes = np.asarray(r._codes, dtype=np.int64)
-                s = float(qvn @ cn[r._list]) + float(
-                    tabs[np.arange(m), codes].sum()
+                s = float(qdotc[qi, r._list]) + float(
+                    tabs_all[qi][np.arange(m), codes].sum()
                 )
-                scored.append((round(s, 6), r.vec_id))
+                scored.append((spark_round6(s), r.vec_id))
             scored.sort(key=lambda t: (-t[0], t[1]))
             for rank, (s, vid) in enumerate(scored[:10], start=1):
                 expected.add((q.query_id, vid, s, rank))
@@ -617,12 +638,59 @@ class TestSimilarity:
             similarity.pq_topk(emb, queries, books, topk=3, max_queries=2)
 
         root = str(tmp_path / "ivfpq_guard")
-        similarity.ivfpq_write_corpus(emb, root, n_lists=4, m=8, k=16)
+        # a null-embedding corpus row must not crash training / the dim
+        # probe, and must be dropped from the written table (not parked
+        # unreachable in the default partition)
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        null_row = spark.createDataFrame(
+            [(999_999, None)],
+            StructType(
+                [
+                    StructField("vec_id", LongType()),
+                    StructField("embedding", ArrayType(DoubleType())),
+                ]
+            ),
+        )
+        emb_d = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        snap = similarity.ivfpq_write_corpus(
+            emb_d.unionByName(null_row), root, n_lists=4, m=8, k=16
+        )
+        assert snap["total_rows"] == emb.count()  # null row dropped
         out2 = similarity.ivfpq_topk(none, root, topk=3)
         assert out2.count() == 0
         assert out2.columns == ["query_id", "vec_id", "score", "rank"]
         with pytest.raises(ValueError, match="max_queries"):
             similarity.ivfpq_topk(queries, root, topk=3, max_queries=2)
+        # null QUERY embeddings raise clearly instead of an obscure
+        # numpy shape error
+        nullq = null_row.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="null embeddings"):
+            similarity.pq_topk(emb, nullq, books, topk=3)
+        with pytest.raises(ValueError, match="null embeddings"):
+            similarity.ivfpq_topk(nullq, root, topk=3)
+        # ivf table path: empty + oversized query guardrails
+        iroot = str(tmp_path / "ivf_guard")
+        similarity.ivf_write_corpus(emb, iroot, n_lists=4)
+        out3 = similarity.ivf_cosine_topk(
+            None, none, k=3, table_root=iroot
+        )
+        assert out3.count() == 0
+        assert out3.columns == ["query_id", "vec_id", "sim", "rank"]
+        with pytest.raises(ValueError, match="max_queries"):
+            similarity.ivf_cosine_topk(
+                None, queries, k=3, table_root=iroot, max_queries=2
+            )
 
     def test_lsh_recall(self, emb):
         queries = emb.limit(5).select(
