@@ -579,8 +579,15 @@ def _parse_ring(ring) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _polygon_covering_parsed(
-    plat: np.ndarray, plng: np.ndarray, level: int
+    plat: np.ndarray, plng: np.ndarray, level: int, holes=()
 ) -> np.ndarray:
+    """BFS-subdivide covering of the shell ring. ``holes`` prunes
+    DURING the descent: a frontier cell whose expanded hull lies fully
+    inside a hole contains no region point (the hull contains the cell;
+    holes are non-nested), so neither it nor any descendant can enter
+    the cover — without this, a large hole costs O(hole area) frontier
+    work at fine levels instead of O(hole perimeter). Final-level hole
+    handling (drop + boundary demotion) stays with the callers."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
     frontier = np.array(
@@ -588,6 +595,9 @@ def _polygon_covering_parsed(
     )
     for _ in range(level):
         keep = frontier[_may_intersect_poly(frontier, plat, plng)]
+        if holes and len(keep):
+            fully, _ = _hull_vs_holes(keep, holes)
+            keep = keep[~fully]
         frontier = cell_to_children(keep)
     return np.sort(frontier[_may_intersect_poly(frontier, plat, plng)])
 
@@ -711,7 +721,7 @@ def polygon_covering(rings, level: int) -> np.ndarray:
     as the rect/cap coverers."""
     parsed = _parse_region(rings)
     plat, plng = parsed[0]
-    cov = _polygon_covering_parsed(plat, plng, level)
+    cov = _polygon_covering_parsed(plat, plng, level, holes=parsed[1:])
     fully, _ = _hull_vs_holes(cov, parsed[1:])
     return cov[~fully]
 
@@ -777,7 +787,7 @@ def polygon_covering_classified(
     together even-odd, decides its points)."""
     parsed = _parse_region(rings)
     plat, plng = parsed[0]
-    cov = _polygon_covering_parsed(plat, plng, level)
+    cov = _polygon_covering_parsed(plat, plng, level, holes=parsed[1:])
     lat_min, lat_max, c_lo, span, full = _cell_hull(cov)
     interior = np.zeros(len(cov), dtype=bool)
     nf = np.flatnonzero(~full)
