@@ -117,6 +117,25 @@ def main() -> None:
     print("== connected components: id-only edges, truncated lineage ==")
     print("  result reads from checkpoint (no pair recompute):",
           "Scan ExistingRDD" in cp or "LocalTableScan" in cp)
+
+    csvq = E.q_csv_ingest_join(spark, sf)
+    cvp = csvq._jdf.queryExecution().executedPlan().toString()
+    print("== csv ingest join: CSV dim broadcast, fact side unshuffled ==")
+    print("  BroadcastHashJoin:", "BroadcastHashJoin" in cvp)
+    print("  CSV scan:", "csv" in cvp.lower())
+    print(
+        "  hash exchanges (1 = final agg only):",
+        cvp.count("Exchange hashpartitioning"),
+    )
+
+    hq = E.q_s2_pip_holed(spark, sf)
+    hp = hq._jdf.queryExecution().executedPlan().toString()
+    print("== s2 holed-polygon counts: covering broadcast, no point shuffle ==")
+    print("  BroadcastHashJoin:", "BroadcastHashJoin" in hp)
+    print(
+        "  hash exchanges (1 = final agg only):",
+        hp.count("Exchange hashpartitioning"),
+    )
     spark.stop()
 
 
