@@ -371,35 +371,44 @@ def _knn_broadcast(
         .persist()
     )
     # exactness certificate: every point outside the max_ring disk is at
-    # haversine >= (max_ring-1) * min cell width
+    # haversine >= (max_ring-1) * min cell width. The certified-query
+    # set is bounded by the path's own <=threshold query contract, so it
+    # collects to the driver in ONE action that doubles as the straggler
+    # count — certification, straggler routing, and result assembly then
+    # need no extra semi/anti-join jobs (2 actions total, not 3; each
+    # Spark job re-scans a derived points frame and pays a scheduling
+    # round trip, so action count IS the cost at every scale)
     margin = (max_ring - 1) * min_cell_width_km(resolution)
     per_q = topk.groupBy("_qid").agg(
         F.count("*").alias("_n"), F.max("_dist").alias("_kth")
     )
-    safe = (
-        per_q.filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(margin)))
+    safe_ids = [
+        r["_qid"]
+        for r in per_q.filter(
+            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(margin))
+        )
         .select("_qid")
-        .persist()
-    )
-    n_safe = safe.count()
+        .collect()
+    ]
+    n_safe = len(safe_ids)
     done = (
-        topk.join(F.broadcast(safe), "_qid", "semi")
+        topk.filter(
+            F.col("_qid").isin(safe_ids) if safe_ids else F.lit(False)
+        )
         .select(
             F.col("_qid").alias(query_id),
             F.col("_pid").alias(point_id),
             F.col("_dist").alias("dist_km"),
             F.col("_rank").alias("rank"),
         )
-        .persist()
     )
-    done.count()
-    topk.unpersist()
     if n_safe == len(qrows):
-        return done
-    stragglers = queries.join(
-        F.broadcast(safe.withColumnRenamed("_qid", query_id)),
-        query_id,
-        "anti",
+        out = done.persist()
+        out.count()
+        topk.unpersist()
+        return out
+    stragglers = queries.filter(
+        ~F.col(query_id).isin(safe_ids) if safe_ids else F.lit(True)
     )
     n_strag = len(qrows) - n_safe
     if n_strag <= 32:
@@ -432,7 +441,10 @@ def _knn_broadcast(
             stragglers, points, k, resolution,
             query_id, point_id, q_lat, q_lng, p_lat, p_lng,
         )
-    return done.unionByName(rest)
+    out = done.unionByName(rest).persist()
+    out.count()
+    topk.unpersist()
+    return out
 
 
 def _knn_iterative(
