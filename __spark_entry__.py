@@ -671,6 +671,42 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup signals. The synthetic
+    documents carry no newlines, so the lane first re-lines each text
+    deterministically (every 3 whitespace tokens -> one line) with the
+    same slice arithmetic in both engines, then runs the operator:
+    distinct non-empty lines per doc, lines shared with >=1 other doc,
+    and their ratio. The shared-count shuffle carries 128-bit line
+    hashes only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = textops.tokens(F.col("text"))
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(3.0)).cast("long"), F.lit(1)
+    )
+    lined = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)),
+        ),
+    )
+    out = textops.line_dedup_stats(
+        docs.select("doc_id", lined.alias("text"))
+    )
+    return out.select(
+        "doc_id", "n_distinct_lines", "n_shared_lines", "shared_line_ratio"
+    )
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's
+    own unigram distribution (LM-free fluency proxy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.unigram_logprob(docs)
+    return out.select("doc_id", "n_tokens_lm", "avg_logprob")
+
+
 def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-aggregate coverage: per-language exact distinct source /
     length-class counts (Spark expands count(DISTINCT) into a two-phase
@@ -1253,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "mixture_sample": q_mixture_sample,
         "repetition": q_repetition,
+        "line_dedup": q_line_dedup,
+        "unigram_lm": q_unigram_lm,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1506,6 +1544,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(n_redactions AS BIGINT) AS n_redactions, "
             "length(t2) AS scrubbed_len, "
             "len(regexp_extract_all(t2, '<PII>')) AS n_tags FROM s2"
+        ),
+        "line_dedup": (
+            # re-lining mirrors q_line_dedup exactly: ceil(n/3) lines of
+            # 3 tokens (DuckDB list slices are 1-based inclusive); then
+            # the operator semantics — distinct trimmed non-empty lines,
+            # cross-doc counts, shared = appears in >= 2 docs
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), ' +') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(CAST(ceil(len(toks) / 3.0) AS BIGINT), 1) + 1), "
+            "i -> array_to_string(toks[(i-1)*3+1 : (i-1)*3+3], ' '))) AS line "
+            "FROM t), "
+            "l AS (SELECT DISTINCT doc_id, trim(line) AS line FROM g "
+            "WHERE length(trim(line)) > 0), "
+            "c AS (SELECT line, count(*) AS ndocs FROM l GROUP BY line) "
+            "SELECT l.doc_id, count(*) AS n_distinct_lines, "
+            "CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_shared_lines, "
+            "round(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS shared_line_ratio "
+            "FROM l JOIN c USING (line) GROUP BY l.doc_id"
+        ),
+        "unigram_lm": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), ' +')) AS tok "
+            "FROM documents), "
+            "f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f) "
+            "SELECT doc_id, count(*) AS n_tokens_lm, "
+            "round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob "
+            "FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY doc_id"
         ),
         "distinct_stats": (
             "SELECT lang, count(DISTINCT source) AS n_sources, "

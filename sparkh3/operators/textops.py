@@ -891,6 +891,93 @@ def pack_sequences(
     )
 
 
+def line_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document line-level duplication signals — the CCNet-style
+    line-dedup pass used to strip boilerplate (nav bars, cookie
+    banners, footers) from web corpora. Per document: the number of
+    distinct non-empty lines, how many of those also appear in at
+    least one OTHER document, and their ratio.
+
+    Returns (id_col, n_distinct_lines, n_shared_lines,
+    shared_line_ratio).
+
+    100 TB shape: the cross-document count shuffles a 128-bit line
+    hash + doc id only — line text never rides an exchange (same
+    2x-xxhash64 collision budget as exact_dedup, ~1e-14 at 10^12
+    lines). One explode -> hash -> distinct, one partially-aggregated
+    count, one int-keyed equi-join back; the document table itself is
+    touched once.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+        )
+        .withColumn("_line", F.trim("_line"))
+        .filter(F.length("_line") > 0)
+        .select(
+            id_col,
+            F.xxhash64("_line").alias("_h1"),
+            F.xxhash64("_line", F.lit(1)).alias("_h2"),
+        )
+        .distinct()
+    )
+    counts = lines.groupBy("_h1", "_h2").agg(F.count("*").alias("_ndocs"))
+    shared = (F.col("_ndocs") > 1).cast("long")
+    return (
+        lines.join(counts, ["_h1", "_h2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_distinct_lines"),
+            F.sum(shared).alias("n_shared_lines"),
+            F.round(
+                F.sum(shared).cast("double") / F.count("*"), 6
+            ).alias("shared_line_ratio"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    OWN unigram distribution — the LM-free fluency/quality proxy
+    (documents made of rare tokens score low; boilerplate made of the
+    corpus's most common tokens scores high). Returns
+    (id_col, n_tokens_lm, avg_logprob).
+
+    100 TB shape: one tokenize+explode pass; the unigram table is a
+    |vocab|-row partial aggregate (map-side combined), the grand total
+    a 1-row broadcast; the score join shuffles (token, doc) pairs —
+    the standard big-to-big token join. No UDF anywhere.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    total = freq.agg(F.sum("_cnt").alias("_total"))
+    return (
+        toks.join(freq, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens_lm"),
+            F.round(
+                F.avg(
+                    F.log(F.col("_cnt").cast("double") / F.col("_total"))
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     probe: DataFrame,

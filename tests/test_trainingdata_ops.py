@@ -181,6 +181,67 @@ class TestRepetition:
         assert abs(got[1].dup_3gram_ratio - (1 - 2 / 3)) < 1e-6
 
 
+class TestLineDedup:
+    def test_shared_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="cookie banner\nreal content one\n\n"),
+                Row(doc_id=2, text="cookie banner\nreal content two"),
+                # within-doc repeat collapses to ONE distinct line,
+                # shared only because doc 1/2 also carry it
+                Row(doc_id=3, text="cookie banner\ncookie banner"),
+            ]
+        )
+        got = {
+            r.doc_id: r for r in textops.line_dedup_stats(df).collect()
+        }
+        assert got[1].n_distinct_lines == 2  # blank line dropped
+        assert got[1].n_shared_lines == 1
+        assert abs(got[1].shared_line_ratio - 0.5) < 1e-9
+        assert got[2].n_shared_lines == 1
+        assert got[3].n_distinct_lines == 1
+        assert got[3].n_shared_lines == 1
+        assert abs(got[3].shared_line_ratio - 1.0) < 1e-9
+
+    def test_whitespace_lines_trimmed(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="  padded  \nunique a"),
+                Row(doc_id=2, text="padded\nunique b"),
+            ]
+        )
+        got = {
+            r.doc_id: r for r in textops.line_dedup_stats(df).collect()
+        }
+        # trim makes "  padded  " == "padded" -> shared
+        assert got[1].n_shared_lines == 1 and got[2].n_shared_lines == 1
+
+
+class TestUnigramLogprob:
+    def test_matches_hand_model(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a a b"),
+                Row(doc_id=2, text="b c"),
+            ]
+        )
+        got = {
+            r.doc_id: r for r in textops.unigram_logprob(df).collect()
+        }
+        # corpus counts: a=2 b=2 c=1, total 5
+        pa, pb, pc = 2 / 5, 2 / 5, 1 / 5
+        assert got[1].n_tokens_lm == 3
+        exp1 = (2 * math.log(pa) + math.log(pb)) / 3
+        assert abs(got[1].avg_logprob - round(exp1, 6)) < 1e-6
+        exp2 = (math.log(pb) + math.log(pc)) / 2
+        assert got[2].n_tokens_lm == 2
+        assert abs(got[2].avg_logprob - round(exp2, 6)) < 1e-6
+        # common-token doc scores higher than rare-token doc
+        assert got[1].avg_logprob > exp2 - 1e-9
+
+
 class TestChunking:
     def test_coverage_and_overlap(self, spark):
         text = " ".join(str(i) for i in range(100))  # tokens "0".."99"
