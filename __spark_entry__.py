@@ -707,6 +707,15 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens_lm", "avg_logprob")
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: score every document against a target
+    domain (source='src0') using smoothed unigram+bigram log-ratios —
+    the data-selection pass that upsamples target-flavored raw data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.dsir_weights(docs, docs.filter(F.col("source") == "src0"))
+    return out.select("doc_id", "n_features", "dsir_logratio")
+
+
 def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-aggregate coverage: per-language exact distinct source /
     length-class counts (Spark expands count(DISTINCT) into a two-phase
@@ -1291,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "unigram_lm": q_unigram_lm,
+        "dsir": q_dsir,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1575,6 +1585,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(*) AS n_tokens_lm, "
             "round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob "
             "FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY doc_id"
+        ),
+        "dsir": (
+            # feature bag mirrors textops.dsir_features: unigrams plus
+            # the repetition-oracle bigram construction (greatest(n-2,0)+1
+            # grams, 1-based inclusive slices); target = source 'src0' is
+            # a subset of raw, so the union vocab is the raw vocab (LEFT
+            # JOIN); add-1 smoothing over (total + vocab_size)
+            "WITH tk AS (SELECT doc_id, source, "
+            "regexp_split_to_array(trim(text), ' +') AS toks FROM documents), "
+            "feats AS (SELECT doc_id, source, unnest(list_concat(toks, "
+            "list_transform(range(1, greatest(len(toks) - 2, 0) + 2), "
+            "i -> array_to_string(toks[i : i + 1], ' ')))) AS f FROM tk), "
+            "cr AS (SELECT f, count(*) AS cr FROM feats GROUP BY f), "
+            "ct AS (SELECT f, count(*) AS ct FROM feats "
+            "WHERE source = 'src0' GROUP BY f), "
+            "v AS (SELECT cr.f, cr, coalesce(ct, 0) AS ct "
+            "FROM cr LEFT JOIN ct USING (f)), "
+            "tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, "
+            "CAST(sum(ct) AS DOUBLE) AS tt, "
+            "CAST(count(*) AS DOUBLE) AS nv FROM v), "
+            "r AS (SELECT f, ln((ct + 1.0) / (tt + nv)) "
+            "- ln((cr + 1.0) / (tr + nv)) AS logr FROM v CROSS JOIN tot) "
+            "SELECT doc_id, count(*) AS n_features, "
+            "round(avg(logr), 6) AS dsir_logratio "
+            "FROM feats JOIN r USING (f) GROUP BY doc_id"
         ),
         "distinct_stats": (
             "SELECT lang, count(DISTINCT source) AS n_sources, "

@@ -978,6 +978,75 @@ def unigram_logprob(
     )
 
 
+def dsir_features(text: Column) -> Column:
+    """DSIR-style n-gram feature bag: unigrams plus word bigrams (one
+    tokenize, native array concat). Short docs degrade gracefully — a
+    1-token doc contributes its token twice (once as the unigram, once
+    as the degenerate "bigram"), matching :func:`ngrams` semantics."""
+    return F.concat(tokens(text), ngrams(text, 2))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Importance weights for Data Selection via Importance Resampling
+    (DSIR, Xie et al. 2023): score every raw document by how much more
+    likely its n-gram features are under the TARGET corpus's feature
+    distribution than under the raw corpus's own —
+    ``avg_f [ log p_target(f) − log p_raw(f) ]`` over the doc's
+    unigram+bigram bag, with add-k smoothing over the union vocabulary.
+    High scores = "looks like the target domain"; resample raw by these
+    weights to build a target-flavored training mix. Returns
+    (id_col, n_features, dsir_logratio).
+
+    100 TB shape: two explode→count partial aggregates (map-side
+    combined, |vocab|-row outputs), a 1-row totals broadcast, and ONE
+    big-to-big (feature, doc) join for scoring — the same join profile
+    as BM25/unigram scoring. All native; no UDF, no driver collect.
+    """
+    feats_raw = raw.select(
+        F.col(id_col), F.explode(dsir_features(F.col(text_col))).alias("_f")
+    )
+    feats_tgt = target.select(
+        F.explode(dsir_features(F.col(text_col))).alias("_f")
+    )
+    cr = feats_raw.groupBy("_f").agg(F.count("*").alias("_cr"))
+    ct = feats_tgt.groupBy("_f").agg(F.count("*").alias("_ct"))
+    vocab = (
+        cr.join(ct, "_f", "full_outer")
+        .select(
+            "_f",
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("_cr").cast("double").alias("_tr"),
+        F.sum("_ct").cast("double").alias("_tt"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    k = F.lit(float(smoothing))
+    ratio = vocab.crossJoin(F.broadcast(tot)).select(
+        "_f",
+        (
+            F.log((F.col("_ct") + k) / (F.col("_tt") + k * F.col("_v")))
+            - F.log((F.col("_cr") + k) / (F.col("_tr") + k * F.col("_v")))
+        ).alias("_logr"),
+    )
+    return (
+        feats_raw.join(ratio, "_f")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.round(F.avg("_logr"), 6).alias("dsir_logratio"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     probe: DataFrame,

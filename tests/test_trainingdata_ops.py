@@ -242,6 +242,28 @@ class TestUnigramLogprob:
         assert got[1].avg_logprob > exp2 - 1e-9
 
 
+class TestDsir:
+    def test_matches_hand_model(self, spark):
+        import math
+
+        raw = spark.createDataFrame(
+            [Row(doc_id=1, text="a b"), Row(doc_id=2, text="c")]
+        )
+        target = raw.filter(F.col("doc_id") == 1)
+        got = {
+            r.doc_id: r for r in textops.dsir_weights(raw, target).collect()
+        }
+        # features: doc1 -> a, b, "a b" (3); doc2 -> c, c (degenerate
+        # bigram of a 1-token doc repeats the token)
+        assert got[1].n_features == 3 and got[2].n_features == 2
+        # cr: a=1 b=1 "a b"=1 c=2 (tr=5); ct: a=b="a b"=1 c=0 (tt=3); V=4
+        # logr(a)=ln(2/7)-ln(2/9)=ln(9/7); logr(c)=ln(1/7)-ln(3/9)=ln(3/7)
+        assert abs(got[1].dsir_logratio - round(math.log(9 / 7), 6)) < 1e-6
+        assert abs(got[2].dsir_logratio - round(math.log(3 / 7), 6)) < 1e-6
+        # target-flavored doc outranks the off-target doc
+        assert got[1].dsir_logratio > got[2].dsir_logratio
+
+
 class TestChunking:
     def test_coverage_and_overlap(self, spark):
         text = " ".join(str(i) for i in range(100))  # tokens "0".."99"
