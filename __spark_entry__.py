@@ -892,6 +892,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic k-means over the
+    embeddings, within-cluster cosine pairs, CC keepers. Rows-only
+    (iterative Lloyd refinement is not SQL-expressible); the k=1 path
+    is pinned against the exact oracle-backed pair set in pytest."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = similarity.semantic_dedup(
+        emb, threshold=0.4, n_clusters=8, refine_iters=1
+    )
+    return kept.select("vec_id", "label")
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN probed at n_probe == n_lists (full probe): every corpus
     vector sits in exactly one probed list, so results are EXACT and the
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kring_smoothing": q_kring_smoothing,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "semantic_dedup": q_semantic_dedup,
         "raster_roundtrip": q_raster_roundtrip,
         "winnow_stats": q_winnow_stats,
         "linetrace_cells": q_linetrace_cells,

@@ -1195,3 +1195,87 @@ def embedding_centroids(
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("x").cast("double")), decimals).alias("mean_x"))
     )
+
+
+def semantic_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023): k-means
+    the embeddings (deterministic seeding + Lloyd refinement, reusing
+    the IVF codebook trainer), then compare pairs ONLY within a cluster
+    — exact cosine on the survivors. Returns (id_a, id_b, sim) with
+    id_a < id_b and sim >= threshold.
+
+    Semantics vs :func:`cosine_neardup_pairs`: with ``n_clusters=1``
+    this IS the exact all-pairs result; with k>1 it is approximate the
+    same way SemDeDup is — near-dups straddling a cluster boundary are
+    missed (embedding near-dups almost always co-assign).
+
+    100 TB shape: the quadratic blow-up is confined to within-cluster
+    blocks (~(n/k)^2 per cluster instead of n^2); one hash exchange on
+    the cluster id co-locates each block. Cluster count is the knob:
+    k ~ n/10^4 keeps blocks ~10^8 comparisons — executor-sized. The
+    codebook is a driver-held dimension table (n_clusters x dim),
+    exactly like IVF."""
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    if n_clusters == 1:
+        labeled = c.withColumn("_k", F.lit(0))
+    else:
+        cents = ivf_train_centroids(
+            corpus, n_clusters, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters,
+        )
+        assign = _ivf_assign_udf(cents, 1)
+        labeled = c.withColumn(
+            "_k", F.element_at(assign(F.col("_cv")), 1)
+        ).filter(F.col("_k").isNotNull())
+    # the assignment UDF feeds BOTH sides of the self-join and (via
+    # dedup_by_pairs) every CC round — truncate the lineage so it runs
+    # exactly once (same discipline as connected_components' node set)
+    labeled = labeled.localCheckpoint(eager=True)
+    a = labeled.select(
+        F.col("_cid").alias("id_a"), F.col("_cv").alias("_va"), "_k"
+    )
+    b = labeled.select(
+        F.col("_cid").alias("id_b"), F.col("_cv").alias("_vb"), "_k"
+    )
+    return (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Materialized semantic dedup: keep one representative (the
+    minimum id, via connected components over the within-cluster
+    near-dup pairs) per semantic-duplicate group; rows in no group pass
+    through. Payload columns never enter the pair/component computation
+    — only ids and vectors do (graph.dedup_by_pairs anti-join)."""
+    from sparkh3.operators import graph
+
+    pairs = semantic_neardup_pairs(
+        corpus, threshold, n_clusters, id_col=id_col, vec_col=vec_col,
+        refine_iters=refine_iters,
+    )
+    return graph.dedup_by_pairs(
+        corpus, pairs, id_col=id_col, src="id_a", dst="id_b"
+    )

@@ -405,6 +405,69 @@ class TestTopTokens:
             textops.top_tokens_per_group(df, k=0)
 
 
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def test_single_cluster_equals_exact(self, emb):
+        exact = {
+            (r.id_a, r.id_b, r.sim)
+            for r in similarity.cosine_neardup_pairs(emb, 0.4).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.sim)
+            for r in similarity.semantic_neardup_pairs(
+                emb, 0.4, n_clusters=1
+            ).collect()
+        }
+        assert got == exact and len(exact) > 0
+
+    def test_clustered_pairs_and_keepers(self, spark):
+        # two exact-duplicate groups on orthogonal axes + one isolate;
+        # identical vectors co-assign under ANY deterministic seeding,
+        # so the pair set is seeding-robust
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+                Row(vec_id=2, embedding=[1.0, 0.0, 0.0]),
+                Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+                Row(vec_id=4, embedding=[0.0, 1.0, 0.0]),
+                Row(vec_id=5, embedding=[0.0, 0.0, 1.0]),
+            ]
+        )
+        pairs = similarity.semantic_neardup_pairs(
+            df, 0.9, n_clusters=2
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2), (3, 4)}
+        kept = {
+            r.vec_id
+            for r in similarity.semantic_dedup(df, 0.9, n_clusters=2).collect()
+        }
+        assert kept == {1, 3, 5}
+
+    def test_clustered_recall_vs_exact(self, emb):
+        """k>1 is a pruning of the exact pair set (subset by
+        construction); on the sf fixture the cluster-boundary loss
+        stays modest."""
+        exact = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_neardup_pairs(emb, 0.4).collect()
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.semantic_neardup_pairs(
+                emb, 0.4, n_clusters=4
+            ).collect()
+        }
+        assert got <= exact
+        assert len(got) / len(exact) >= 0.5
+
+    def test_validation(self, emb):
+        with pytest.raises(ValueError, match="n_clusters"):
+            similarity.semantic_neardup_pairs(emb, 0.4, n_clusters=0)
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
