@@ -892,6 +892,26 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: train a distributed logistic
+    regression on hashed token features (trusted label: lang='en'),
+    score every document. Rows-only — iterative gradient descent is not
+    SQL-expressible; separation/accuracy pinned in
+    tests/test_classifier.py."""
+    from sparkh3.operators import classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    model = classifier.logreg_train(
+        labeled, "_y", n_features=256, iters=5
+    )
+    return classifier.logreg_score(docs, model).select(
+        "doc_id", "quality_prob"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means over the
     embeddings, within-cluster cosine pairs, CC keepers. Rows-only
@@ -1323,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
         "raster_roundtrip": q_raster_roundtrip,
         "winnow_stats": q_winnow_stats,
         "linetrace_cells": q_linetrace_cells,
