@@ -716,6 +716,15 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_features", "dsir_logratio")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keywords (top-3): doc tagging / topic
+    surfacing over the corpus's own statistics."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.tfidf_keywords(docs, k=3).select(
+        "doc_id", "rank", "token", "tfidf"
+    )
+
+
 def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-aggregate coverage: per-language exact distinct source /
     length-class counts (Spark expands count(DISTINCT) into a two-phase
@@ -1333,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "unigram_lm": q_unigram_lm,
         "dsir": q_dsir,
+        "tfidf_keywords": q_tfidf_keywords,
         "ivf_ann": q_ivf_ann,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
@@ -1644,6 +1654,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(*) AS n_features, "
             "round(avg(logr), 6) AS dsir_logratio "
             "FROM feats JOIN r USING (f) GROUP BY doc_id"
+        ),
+        "tfidf_keywords": (
+            # rank on the ROUNDED score then token — the only total
+            # order both engines are guaranteed to agree on
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), ' +')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf "
+            "FROM t GROUP BY doc_id, token), "
+            "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+            "n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n "
+            "FROM documents), "
+            "s AS (SELECT doc_id, token, "
+            "round(tf * ln(n / df), 6) AS tfidf "
+            "FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "r AS (SELECT doc_id, token, tfidf, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank "
+            "FROM s) "
+            "SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3"
         ),
         "distinct_stats": (
             "SELECT lang, count(DISTINCT source) AS n_sources, "

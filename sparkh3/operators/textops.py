@@ -1047,6 +1047,53 @@ def dsir_weights(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: top-k tokens by tf-idf
+    (tf = in-doc count, idf = ln(N / df) over the corpus). Returns
+    (id_col, rank, token, tfidf) with a total deterministic order —
+    rank on the ROUNDED score (desc) then token (asc), so the ordering
+    is identical in any engine that agrees on 6-decimal scores.
+
+    100 TB shape: one tokenize+explode pass feeding both the per-doc tf
+    aggregate and the |vocab|-row document-frequency aggregate (both
+    map-side combined); N is a 1-row broadcast; the scoring join is
+    int-count x |vocab| — BM25's profile without the query side. The
+    top-k window partitions by doc over the already-aggregated tf rows
+    only, never the token stream."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = ex.groupBy("_id", "token").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("_tf")
+                * F.log(F.col("_n").cast("double") / F.col("_df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "rank", "token", "tfidf")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     probe: DataFrame,

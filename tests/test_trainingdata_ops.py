@@ -242,6 +242,25 @@ class TestUnigramLogprob:
         assert got[1].avg_logprob > exp2 - 1e-9
 
 
+class TestTfidfKeywords:
+    def test_hand_model_and_order(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="a c")]
+        )
+        got = {
+            (r.doc_id, r.rank): (r.token, r.tfidf)
+            for r in textops.tfidf_keywords(df, k=2).collect()
+        }
+        ln2 = round(math.log(2.0), 6)
+        # idf(a)=ln(2/2)=0 -> corpus-wide tokens never rank first
+        assert got[(1, 1)] == ("b", ln2) and got[(1, 2)] == ("a", 0.0)
+        assert got[(2, 1)] == ("c", ln2) and got[(2, 2)] == ("a", 0.0)
+        with pytest.raises(ValueError, match="positive"):
+            textops.tfidf_keywords(df, k=0)
+
+
 class TestDsir:
     def test_matches_hand_model(self, spark):
         import math
