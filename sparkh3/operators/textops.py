@@ -1059,12 +1059,13 @@ def tfidf_keywords(
     rank on the ROUNDED score (desc) then token (asc), so the ordering
     is identical in any engine that agrees on 6-decimal scores.
 
-    100 TB shape: one tokenize+explode pass feeding both the per-doc tf
-    aggregate and the |vocab|-row document-frequency aggregate (both
-    map-side combined); N is a 1-row broadcast; the scoring join is
-    int-count x |vocab| — BM25's profile without the query side. The
-    top-k window partitions by doc over the already-aggregated tf rows
-    only, never the token stream."""
+    100 TB shape: STRUCTURALLY one tokenize+explode pass (plan-gated:
+    a single Generate node) — document frequency is a window count over
+    the already-aggregated (doc, token, tf) rows partitioned by token,
+    not a second aggregate branch whose subtree would re-tokenize when
+    AQE declines to reuse the exchange; N is a 1-row broadcast off a
+    column-pruned source scan. The top-k window partitions by doc over
+    aggregated rows only, never the token stream."""
     if k < 1:
         raise ValueError("k must be positive")
     ex = df.select(
@@ -1072,10 +1073,12 @@ def tfidf_keywords(
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     tf = ex.groupBy("_id", "token").agg(F.count("*").alias("_tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    # tf rows are distinct per (doc, token), so a per-token window
+    # count IS the document frequency
+    dfw = Window.partitionBy("token")
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("_df", F.count("*").over(dfw))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

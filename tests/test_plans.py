@@ -191,3 +191,63 @@ def test_ivfpq_rerank_shortlist_broadcasts(spark, tmp_path):
     # the only hash exchanges are the two top-k windows (ADC shortlist
     # + re-rank), never a corpus-vs-shortlist join shuffle
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_line_dedup_native_and_hash_only_shuffle(spark):
+    """Line dedup must stay whole-stage-native (no Python nodes) and
+    shuffle 128-bit line hashes — the line TEXT never appears past the
+    first projection, so no exchange can carry it."""
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz")], "doc_id long, text string"
+    )
+    plan = _plan(textops.line_dedup_stats(docs))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "xxhash64" in plan, plan
+    # every aggregate is two-phase (map-side partial combine)
+    assert "partial_count" in plan, plan
+
+
+def test_unigram_lm_native_two_phase(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plan = _plan(textops.unigram_logprob(docs))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
+    # the grand total rides a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dsir_native_no_udf(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    plan = _plan(textops.dsir_weights(docs, docs.limit(1)))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    """Document frequency is a window over the tf aggregate, not a
+    second aggregate branch — so the whole query holds exactly ONE
+    Generate (explode) even in the static plan, with no reliance on
+    AQE exchange reuse."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d " * 3) for i in range(100)], "doc_id long, text string"
+    )
+    out = textops.tfidf_keywords(docs, k=2)
+    plan = _plan(out)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+
+
+def test_classifier_features_native(spark):
+    from sparkh3.operators import classifier
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = classifier.hashed_token_pairs(docs)
+    plan = _plan(out)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    out.collect()
+    # the bucket arithmetic stays JVM-side (xxhash64 + portable mod)
+    assert "xxhash64" in _plan(out), _plan(out)
