@@ -1194,6 +1194,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hour→day time-bucket rollup (continuous-aggregate
+    pattern): daily buckets re-aggregate the hourly AGGREGATE, never
+    the raw event stream; tz-free integer-µs bucket arithmetic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.time_rollup(
+        ev,
+        {"hour": 3_600_000_000, "day": 86_400_000_000},
+    ).select("grain", "bucket_us", "key", "n_events", "sum_value")
+
+
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids as flat (label, pos, mean) rows —
     native posexplode + two-phase avg (similarity.embedding_centroids);
@@ -1326,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "edge_ops": q_edge_ops,
         "sessionize": q_sessionize,
+        "time_rollup": q_time_rollup,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
@@ -1820,6 +1832,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.click_id, c.user_id, v.view_id, "
             "round(v.view_value, 4) AS view_value "
             "FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"
+        ),
+        "time_rollup": (
+            # mirrors temporal.time_rollup's CHAIN exactly: daily rows
+            # re-aggregate the ROUNDED hourly sums (the rollup is the
+            # materialized hierarchy, not an independent daily pass)
+            "WITH e AS (SELECT epoch_us(ts) AS us, event_type AS key, "
+            "value FROM events), "
+            "h AS (SELECT us - us % 3600000000 AS bucket_us, key, "
+            "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM e GROUP BY 1, 2), "
+            "d AS (SELECT bucket_us - bucket_us % 86400000000 AS bucket_us, "
+            "key, CAST(sum(n_events) AS BIGINT) AS n_events, "
+            "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
+            "SELECT 'hour' AS grain, * FROM h "
+            "UNION ALL SELECT 'day' AS grain, * FROM d"
         ),
         "sessionize": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us "

@@ -179,3 +179,75 @@ def sessionize(
         .withColumn("session_seq", F.sum("_new").over(wsum))
         .drop("_new")
     )
+
+
+def _epoch_us(events: DataFrame, ts_col: str):
+    """tz-free epoch microseconds (same derivation sessionize uses):
+    NTZ diffs against the NTZ epoch, LTZ uses unix_micros."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def time_rollup(
+    events: DataFrame,
+    grains_us: dict[str, int],
+    key: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hierarchical time-bucket rollup (the continuous-aggregate /
+    hypertable-rollup pattern): bucket events at the FINEST grain with
+    pure integer arithmetic (``ts_us - ts_us % grain``, tz-free, exact
+    in any engine), then derive every coarser grain by re-aggregating
+    the previous grain's output — the raw stream is scanned once, each
+    coarser rollup reads only the (tiny) finer aggregate. Returns
+    (grain, bucket_us, key, n_events, sum_value) for every grain.
+
+    ``grains_us`` maps grain name -> bucket width in microseconds;
+    every coarser width must be an integer multiple of the finest
+    (validated) so buckets nest exactly.
+
+    100 TB shape: one shuffle on (bucket, key) at the finest grain
+    (map-side partial combine); each coarser level is a shuffle over
+    the previous AGGREGATE (buckets x keys rows, not events). This is
+    the chained-H3-parent-rollup trick on the time axis."""
+    if not grains_us:
+        raise ValueError("grains_us must name at least one grain")
+    items = sorted(grains_us.items(), key=lambda kv: kv[1])
+    finest = items[0][1]
+    if finest <= 0:
+        raise ValueError("grain widths must be positive microseconds")
+    for name, width in items[1:]:
+        if width % finest != 0:
+            raise ValueError(
+                f"grain {name} ({width}) is not a multiple of the "
+                f"finest grain ({finest}) — buckets would not nest"
+            )
+    us = _epoch_us(events, ts_col)
+    name0, w0 = items[0]
+    cur = (
+        events.select(
+            (us - us % F.lit(w0)).alias("bucket_us"), F.col(key).alias("key")
+        , F.col(value_col).alias("_v"))
+        .groupBy("bucket_us", "key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("_v"), 6).alias("sum_value"),
+        )
+    )
+    out = cur.select(F.lit(name0).alias("grain"), "*")
+    for name, width in items[1:]:
+        b = F.col("bucket_us") - F.col("bucket_us") % F.lit(width)
+        cur = (
+            cur.groupBy(b.alias("bucket_us"), "key")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("sum_value"), 6).alias("sum_value"),
+            )
+        )
+        out = out.unionByName(cur.select(F.lit(name).alias("grain"), "*"))
+    return out

@@ -209,3 +209,54 @@ class TestHotKey:
             F.col("v") != (F.col("lid") / 100_000).cast("long").cast("double")
         ).count()
         assert bad == 0
+
+
+class TestTimeRollup:
+    def test_hour_day_chain(self, spark):
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            # two events in hour 0, one in hour 1 (same day), one next day
+            (1, base + dt.timedelta(minutes=5), "a", 1.0),
+            (2, base + dt.timedelta(minutes=50), "a", 2.0),
+            (3, base + dt.timedelta(hours=1, minutes=1), "a", 4.0),
+            (4, base + dt.timedelta(days=1, minutes=1), "a", 8.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = temporal.time_rollup(
+            ev, {"hour": 3_600_000_000, "day": 86_400_000_000}
+        )
+        got = {
+            (r.grain, r.bucket_us): (r.n_events, r.sum_value)
+            for r in out.collect()
+        }
+        day0 = 1704067200 * 1_000_000
+        hour = 3_600_000_000
+        assert got[("hour", day0)] == (2, 3.0)
+        assert got[("hour", day0 + hour)] == (1, 4.0)
+        assert got[("day", day0)] == (3, 7.0)
+        assert got[("day", day0 + 24 * hour)] == (1, 8.0)
+
+    def test_validation(self, spark):
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, event_type string, value double"
+        )
+        with pytest.raises(ValueError, match="nest"):
+            temporal.time_rollup(ev, {"h": 3_600_000_000, "x": 5_000_000_000})
+        with pytest.raises(ValueError, match="at least one"):
+            temporal.time_rollup(ev, {})
+
+    def test_coarse_grain_reuses_hourly_exchange(self, spark):
+        """The day branch re-aggregates the hourly AGGREGATE — at
+        runtime AQE reuses the hourly shuffle (ReusedExchange), so the
+        raw event stream is bucketed once."""
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        out = temporal.time_rollup(
+            ev, {"hour": 3_600_000_000, "day": 86_400_000_000}
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ReusedExchange") >= 1, plan
