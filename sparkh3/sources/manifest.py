@@ -79,6 +79,59 @@ def cell_descendant_range(cell: int, storage_res: int) -> tuple[int, int]:
     return int(lo), int(v[0])
 
 
+def _with_key_cols(
+    df: DataFrame, h3_col: str, key_is_int: bool, bucket_bits: int
+) -> DataFrame:
+    """Attach the layout columns (_h3_int, _h3_bucket) exactly as the
+    table stores them — shared by write_table and merge_table so an
+    upsert buckets identically to the original write."""
+    if key_is_int:
+        out = df.withColumn("_h3_int", F.col(h3_col).cast("long"))
+        if bucket_bits == 0:
+            # shift-by-64 is a no-op under Java shift semantics (masked
+            # mod 64) — it would bucket on the FULL key, one file per
+            # distinct cell
+            bucket = F.lit(0)
+        else:
+            bucket = F.shiftrightunsigned(F.col("_h3_int"), 64 - bucket_bits)
+        return out.withColumn("_h3_bucket", bucket)
+    out = df.withColumn("_h3_int", H3F.h3_str_to_int(h3_col))
+    return out.withColumn(
+        "_h3_bucket", H3F.h3_prefix_bucket(F.col("_h3_int"), bucket_bits)
+    )
+
+
+def _scan_file_stats(root_p: Path, data_dir: Path) -> list[dict]:
+    """Per-file manifest entries (path, rows, key min/max) from parquet
+    footers under `data_dir` — no data read, footers only."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for p in sorted(data_dir.rglob("*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        h3_idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == "_h3_int":
+                h3_idx = i
+                break
+        mn, mx, rows = None, None, md.num_rows
+        if h3_idx is not None:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(h3_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        files.append(
+            {
+                "path": str(p.relative_to(root_p)),
+                "rows": rows,
+                "h3_min": mn,
+                "h3_max": mx,
+            }
+        )
+    return files
+
+
 def write_table(
     df: DataFrame,
     root: str,
@@ -110,23 +163,7 @@ def write_table(
             if snapcur["files"]:
                 data_subdir = Path(snapcur["files"][0]["path"]).parts[0]
     data_dir = root_p / data_subdir
-    if key_is_int:
-        out = df.withColumn("_h3_int", F.col(h3_col).cast("long"))
-        if bucket_bits == 0:
-            # shift-by-64 is a no-op under Java shift semantics (masked
-            # mod 64) — it would bucket on the FULL key, one file per
-            # distinct cell
-            bucket = F.lit(0)
-        else:
-            bucket = F.shiftrightunsigned(
-                F.col("_h3_int"), 64 - bucket_bits
-            )
-        out = out.withColumn("_h3_bucket", bucket)
-    else:
-        out = df.withColumn("_h3_int", H3F.h3_str_to_int(h3_col))
-        out = out.withColumn(
-            "_h3_bucket", H3F.h3_prefix_bucket(F.col("_h3_int"), bucket_bits)
-        )
+    out = _with_key_cols(df, h3_col, key_is_int, bucket_bits)
     # cluster: partition by bucket, sort within partitions by cell int
     out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
     writer = out.write.partitionBy("_h3_bucket").mode(
@@ -134,32 +171,7 @@ def write_table(
     )
     writer.parquet(str(data_dir))
 
-    # collect per-file stats from parquet footers
-    import pyarrow.parquet as pq
-
-    files = []
-    for p in sorted(data_dir.rglob("*.parquet")):
-        md = pq.ParquetFile(p).metadata
-        h3_idx = None
-        for i in range(md.num_columns):
-            if md.schema.column(i).name == "_h3_int":
-                h3_idx = i
-                break
-        mn, mx, rows = None, None, md.num_rows
-        if h3_idx is not None:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(h3_idx).statistics
-                if st is not None and st.has_min_max:
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
-        files.append(
-            {
-                "path": str(p.relative_to(root_p)),
-                "rows": rows,
-                "h3_min": mn,
-                "h3_max": mx,
-            }
-        )
+    files = _scan_file_stats(root_p, data_dir)
     cur_file = root_p / "metadata" / "current"
     prev = int(cur_file.read_text()) if cur_file.exists() else 0
     version = prev + 1
@@ -274,6 +286,117 @@ def pruned_file_count(
         )
     )
     return kept, len(snap["files"])
+
+
+def _bucket_of_path(path: str) -> int | None:
+    for part in Path(path).parts:
+        if part.startswith("_h3_bucket="):
+            v = part.split("=", 1)[1]
+            return None if v == "__HIVE_DEFAULT_PARTITION__" else int(v)
+    return None
+
+
+def merge_table(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    merge_key: str,
+) -> dict:
+    """Iceberg-style copy-on-write MERGE (upsert): rows in `updates`
+    REPLACE current rows with the same ``merge_key``; new keys insert.
+    Only data files in buckets the updates touch are rewritten — every
+    other file carries over into the new snapshot BY REFERENCE (its
+    path is reused, no data moves), which is what bounds merge cost by
+    the update footprint instead of the table size at 100 TB.
+
+    The rewrite lands in a new generation directory (``data_m<N>``) so
+    readers of the old snapshot are never disturbed (time travel via
+    ``read_table(version=...)`` keeps working); the commit is the same
+    atomic tmp+rename, with an optimistic-concurrency check that the
+    `current` pointer still names the snapshot the merge planned
+    against. Null merge keys or null layout keys in `updates` are
+    rejected (they would land in the hive default partition and escape
+    every range read)."""
+    snap = load_snapshot(root)
+    root_p = Path(root)
+    key_is_int = snap.get("key_kind") == "int"
+    bits = snap["bucket_bits"]
+    h3_col = snap["h3_col"]
+    if not snap["files"]:
+        raise ValueError("merge_table requires a non-empty table")
+    sample = spark.read.parquet(str(root_p / snap["files"][0]["path"]))
+    data_cols = [
+        c for c in sample.columns if c not in ("_h3_int", "_h3_bucket")
+    ]
+    missing = set(data_cols) - set(updates.columns)
+    if missing:
+        raise ValueError(
+            f"updates missing table columns: {sorted(missing)}"
+        )
+    if merge_key not in data_cols:
+        raise ValueError(f"merge_key {merge_key!r} is not a table column")
+    updates = updates.select(*data_cols)
+    if updates.filter(
+        F.col(merge_key).isNull() | F.col(h3_col).isNull()
+    ).limit(1).count():
+        raise ValueError(
+            f"updates contain null {merge_key!r} or {h3_col!r} rows — "
+            "they would be unreachable after the write"
+        )
+    up = _with_key_cols(updates, h3_col, key_is_int, bits).localCheckpoint(
+        eager=True
+    )
+    if up.isEmpty():
+        return snap
+    # affected buckets: bounded by 2^bucket_bits, a metadata-sized set
+    touched = {
+        r["_h3_bucket"] for r in up.select("_h3_bucket").distinct().collect()
+    }
+    affected = [f for f in snap["files"] if _bucket_of_path(f["path"]) in touched]
+    carried = [f for f in snap["files"] if _bucket_of_path(f["path"]) not in touched]
+    pieces = up.select(*data_cols)
+    if affected:
+        old = spark.read.parquet(
+            *[str(root_p / f["path"]) for f in affected]
+        )
+        keep_old = old.join(
+            up.select(merge_key).distinct(), merge_key, "anti"
+        ).select(*data_cols)
+        pieces = pieces.unionByName(keep_old)
+    version = snap["version"] + 1
+    data_dir = root_p / f"data_m{version}"
+    out = _with_key_cols(pieces, h3_col, key_is_int, bits)
+    out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
+    out.write.partitionBy("_h3_bucket").mode("overwrite").parquet(
+        str(data_dir)
+    )
+    new_files = _scan_file_stats(root_p, data_dir)
+    cur_file = root_p / "metadata" / "current"
+    if int(cur_file.read_text()) != snap["version"]:
+        raise RuntimeError(
+            "concurrent commit detected: `current` moved while the "
+            "merge was planning — retry against the new snapshot"
+        )
+    snapshot = {
+        "version": version,
+        "parent": snap["version"],
+        "ts": time.time(),
+        "h3_col": h3_col,
+        "key_kind": snap.get("key_kind", "h3_str"),
+        "bucket_bits": bits,
+        "files": carried + new_files,
+        "total_rows": sum(f["rows"] for f in carried + new_files),
+        "merged_into": snap["version"],
+        "rewritten_files": len(affected),
+        "carried_files": len(carried),
+    }
+    (root_p / "metadata" / f"v{version}.json").write_text(
+        json.dumps(snapshot)
+    )
+    tmp = root_p / "metadata" / "current.tmp"
+    tmp.write_text(str(version))
+    os.replace(tmp, cur_file)
+    return snapshot
 
 
 def compact_table(
