@@ -781,6 +781,26 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every grain of the pricing summary in ONE pass: Spark's Expand
+    operator fans each row out per grouping set map-side, then a single
+    partial+final hash aggregate covers all 4 cube grains — one shuffle
+    total, vs 4 scans if the caller looped grains (the 100 TB shape of
+    SURVEY §2.3's grouping-sets gap; operators/grouped.py)."""
+    from sparkh3.operators.grouped import grouping_aggregate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return grouping_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("count_order"),
+        ],
+        kind="cube",
+    )
+
+
 def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1323,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine": q_ann_cosine,
         "tpch_pricing": q_tpch_pricing,
+        "cube_pricing": q_cube_pricing,
         "csv_ingest_join": q_csv_ingest_join,
         "top_orders_per_segment": q_top_orders_per_segment,
         "events_top_per_user": q_events_top_per_user,
@@ -1513,6 +1534,19 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "cube_pricing": (
+            # gid derived by CASE on key nullness (bit order = Spark's
+            # grouping_id: leftmost key most significant) — portable
+            # across DuckDB's GROUPING() encoding differences
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END "
+            "+ CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS gid, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "top_orders_per_segment": (
             "WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice "

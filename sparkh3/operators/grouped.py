@@ -31,3 +31,53 @@ def apply_in_pandas_aggregate(
         return pd.DataFrame(out)
 
     return df.groupBy(key_col).applyInPandas(agg, schema)
+
+
+def grouping_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    kind: str = "cube",
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Multi-grain aggregate over grouping sets (``kind`` = 'cube' —
+    every key subset — or 'rollup' — hierarchical prefixes).
+
+    Spark's Expand operator computes EVERY grain in one pass: each
+    input row is replicated per grouping set map-side, then a single
+    partial+final hash aggregate runs over the union — one shuffle for
+    all grains, vs one scan+shuffle per grain if the caller looped.
+    That is the 100 TB shape: a cube over g grains costs one g-times
+    fan-out of the (already projected) agg input, not g table scans.
+
+    Output: the key columns with subtotal rows labeled ``all_label``
+    (string keys only; rows from finer grains keep their values), a
+    ``gid`` bitmask (leftmost key = most significant bit, 1 = the key
+    is aggregated away at this grain — Spark's ``grouping_id`` order),
+    then the caller's aggregate columns.
+
+    The reference has no grouping-set analog (SURVEY §2.3 notes the
+    gap); hierarchical resolution rollups there are chained
+    h3_to_parent_aggregate calls — `grouping_aggregate` is the one-pass
+    relational generalization.
+    """
+    from pyspark.sql import functions as F
+
+    if kind == "cube":
+        grouped = df.cube(*keys)
+    elif kind == "rollup":
+        grouped = df.rollup(*keys)
+    else:
+        raise ValueError(f"kind must be 'cube' or 'rollup', got {kind!r}")
+    out = grouped.agg(
+        F.grouping_id(*[F.col(k) for k in keys]).alias("gid"), *aggs
+    )
+    agg_names = [c for c in out.columns if c not in keys and c != "gid"]
+    return out.select(
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit(all_label)).alias(k)
+            for k in keys
+        ],
+        F.col("gid").cast("long").alias("gid"),
+        *agg_names,
+    )

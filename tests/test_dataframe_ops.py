@@ -277,3 +277,50 @@ class TestSmoothing:
     def test_empty_weights_raises(self, h3_df_values):
         with pytest.raises(ValueError):
             dfo.k_ring_smoothing(h3_df_values, weights=[])
+
+
+class TestGroupingAggregate:
+    def test_rollup_grains(self, spark):
+        from sparkh3.operators.grouped import grouping_aggregate
+
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+            "g1 string, g2 string, v int",
+        )
+        got = {
+            (r.g1, r.g2, r.gid): r.sv
+            for r in grouping_aggregate(
+                df, ["g1", "g2"], [F.sum("v").alias("sv")], kind="rollup"
+            ).collect()
+        }
+        # rollup: (g1,g2), (g1), () — no (g2)-only grain
+        assert got[("a", "x", 0)] == 1
+        assert got[("a", "ALL", 1)] == 3
+        assert got[("b", "ALL", 1)] == 4
+        assert got[("ALL", "ALL", 3)] == 7
+        assert ("ALL", "x", 2) not in got
+
+    def test_cube_has_all_grains(self, spark):
+        from sparkh3.operators.grouped import grouping_aggregate
+
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("b", "y", 2)], "g1 string, g2 string, v int"
+        )
+        out = grouping_aggregate(
+            df, ["g1", "g2"], [F.count("*").alias("n")], kind="cube"
+        )
+        assert set(
+            r.gid for r in out.select("gid").distinct().collect()
+        ) == {0, 1, 2, 3}
+        # ONE shuffle for all grains: a single Expand node feeds a
+        # single pair of hash aggregates
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Expand") == 1
+        assert plan.count("Exchange") == 1
+
+    def test_bad_kind_raises(self, spark):
+        from sparkh3.operators.grouped import grouping_aggregate
+
+        df = spark.createDataFrame([("a", 1)], "g string, v int")
+        with pytest.raises(ValueError, match="cube"):
+            grouping_aggregate(df, ["g"], [F.sum("v").alias("s")], kind="no")
