@@ -363,6 +363,28 @@ def merge_table(
             up.select(merge_key).distinct(), merge_key, "anti"
         ).select(*data_cols)
         pieces = pieces.unionByName(keep_old)
+    return _commit_cow(
+        spark, snap, root_p, pieces, carried, len(affected),
+        {"merged_into": snap["version"]},
+    )
+
+
+def _commit_cow(
+    spark: SparkSession,
+    snap: dict,
+    root_p: Path,
+    pieces: DataFrame,
+    carried: list[dict],
+    n_rewritten: int,
+    extra: dict,
+) -> dict:
+    """Write `pieces` as the rewritten generation, carry `carried` file
+    entries by reference, and atomically advance `current` — with an
+    optimistic-concurrency check that no other writer committed since
+    `snap` was loaded (the planned parent)."""
+    key_is_int = snap.get("key_kind") == "int"
+    bits = snap["bucket_bits"]
+    h3_col = snap["h3_col"]
     version = snap["version"] + 1
     data_dir = root_p / f"data_m{version}"
     out = _with_key_cols(pieces, h3_col, key_is_int, bits)
@@ -375,7 +397,7 @@ def merge_table(
     if int(cur_file.read_text()) != snap["version"]:
         raise RuntimeError(
             "concurrent commit detected: `current` moved while the "
-            "merge was planning — retry against the new snapshot"
+            "rewrite was planning — retry against the new snapshot"
         )
     snapshot = {
         "version": version,
@@ -386,9 +408,9 @@ def merge_table(
         "bucket_bits": bits,
         "files": carried + new_files,
         "total_rows": sum(f["rows"] for f in carried + new_files),
-        "merged_into": snap["version"],
-        "rewritten_files": len(affected),
+        "rewritten_files": n_rewritten,
         "carried_files": len(carried),
+        **extra,
     }
     (root_p / "metadata" / f"v{version}.json").write_text(
         json.dumps(snapshot)
@@ -397,6 +419,63 @@ def merge_table(
     tmp.write_text(str(version))
     os.replace(tmp, cur_file)
     return snapshot
+
+
+def delete_table(
+    spark: SparkSession,
+    root: str,
+    predicate,
+) -> dict:
+    """Copy-on-write DELETE: rows matching ``predicate`` (a Column or a
+    SQL expression string over the table's data columns) are removed
+    from the current snapshot. Only files that actually CONTAIN a
+    matching row are rewritten (found with one predicate-filtered scan
+    collecting distinct ``input_file_name`` — a file-count-bounded,
+    metadata-sized result); every other file carries into the new
+    snapshot by reference. SQL DELETE null semantics: a predicate that
+    evaluates NULL on a row does not delete it.
+
+    Old snapshots stay readable (``read_table(version=...)`` time
+    travel); the commit is the same atomic tmp+rename with the
+    optimistic-concurrency parent check as ``merge_table``."""
+    snap = load_snapshot(root)
+    root_p = Path(root)
+    if not snap["files"]:
+        raise ValueError("delete_table requires a non-empty table")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    all_paths = [str(root_p / f["path"]) for f in snap["files"]]
+    hit = (
+        spark.read.parquet(*all_paths)
+        .filter(pred)
+        .groupBy(F.input_file_name().alias("_f"))
+        .count()
+        .collect()
+    )
+    # normalize to the manifest's relative-path form
+    hit_rel, n_deleted = set(), 0
+    for r in hit:
+        p = r["_f"]
+        p = p[len("file:"):] if p.startswith("file:") else p
+        hit_rel.add(str(Path(p).resolve().relative_to(root_p.resolve())))
+        n_deleted += r["count"]
+    if not hit_rel:
+        return snap  # no matching rows: the snapshot is unchanged
+    affected = [f for f in snap["files"] if f["path"] in hit_rel]
+    carried = [f for f in snap["files"] if f["path"] not in hit_rel]
+    data_cols_df = spark.read.parquet(
+        *[str(root_p / f["path"]) for f in affected]
+    )
+    data_cols = [
+        c for c in data_cols_df.columns if c not in ("_h3_int", "_h3_bucket")
+    ]
+    # NULL-predicate rows survive, exactly like SQL DELETE
+    pieces = data_cols_df.filter(~F.coalesce(pred, F.lit(False))).select(
+        *data_cols
+    )
+    return _commit_cow(
+        spark, snap, root_p, pieces, carried, len(affected),
+        {"deleted_from": snap["version"], "deleted_rows": int(n_deleted)},
+    )
 
 
 def compact_table(

@@ -421,3 +421,55 @@ class TestMergeTable:
         )
         with pytest.raises(ValueError, match="null"):
             manifest.merge_table(spark, root, nullkey, merge_key="doc_id")
+
+
+class TestDeleteTable:
+    def test_cow_delete(self, spark, h3_docs, tmp_path):
+        """Predicate delete rewrites only files containing matches;
+        NULL-predicate rows survive (SQL DELETE semantics)."""
+        root = str(tmp_path / "del")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        victim = h3_docs.orderBy("doc_id").first()
+        snap2 = manifest.delete_table(
+            spark, root, F.col("doc_id") == victim.doc_id
+        )
+        assert snap2["version"] == snap1["version"] + 1
+        assert snap2["deleted_rows"] == 1
+        assert snap2["total_rows"] == snap1["total_rows"] - 1
+        assert 1 <= snap2["rewritten_files"] < len(snap1["files"])
+        carried_paths = {f["path"] for f in snap1["files"]} & {
+            f["path"] for f in snap2["files"]
+        }
+        assert len(carried_paths) == snap2["carried_files"]
+        cur = manifest.read_table(spark, root)
+        assert cur.filter(F.col("doc_id") == victim.doc_id).count() == 0
+        assert cur.count() == snap2["total_rows"]
+        # time travel still shows the deleted row
+        old = manifest.read_table(spark, root, version=snap1["version"])
+        assert old.filter(F.col("doc_id") == victim.doc_id).count() == 1
+        # persisted snapshot carries the audit fields
+        import json as _json
+        from pathlib import Path as _P
+
+        meta = _json.loads(
+            (_P(root) / "metadata" / f"v{snap2['version']}.json").read_text()
+        )
+        assert meta["deleted_rows"] == 1
+        assert meta["deleted_from"] == snap1["version"]
+
+    def test_no_match_is_noop(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "delnoop")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        snap2 = manifest.delete_table(
+            spark, root, "doc_id = 'no-such-doc-id'"
+        )
+        assert snap2["version"] == snap1["version"]
+        assert manifest.read_table(spark, root).count() == snap1["total_rows"]
+
+    def test_sql_string_predicate(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "delsql")
+        manifest.write_table(h3_docs, root, "h3_07")
+        n_match = h3_docs.filter("lat > 0").count()
+        snap = manifest.delete_table(spark, root, "lat > 0")
+        assert snap["deleted_rows"] == n_match
+        assert manifest.read_table(spark, root).filter("lat > 0").count() == 0
