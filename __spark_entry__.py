@@ -1225,6 +1225,35 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grain", "bucket_us", "key", "n_events", "sum_value")
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via time-grid bucketing
+    (temporal.interval_join): intervals explode to covered hour
+    buckets, events map to ONE bucket, equi-join + exact BETWEEN
+    residual — candidate pairs follow temporal overlap, never the
+    cross product (oracle IS the cross-product BETWEEN join)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts"
+    )
+    mn = ev.select(F.min(temporal._epoch_us(ev, "ts")).alias("_mn"))
+    iv = (
+        spark.range(16)
+        .select(F.col("id").alias("interval_id"))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "interval_id",
+            (F.col("_mn") + F.col("interval_id") * F.lit(162_000_000_000))
+            .alias("start_us"),
+            (
+                F.col("_mn")
+                + F.col("interval_id") * F.lit(162_000_000_000)
+                + F.lit(10_800_000_000)
+            ).alias("end_us"),
+        )
+    )
+    out = temporal.interval_join(ev, iv, event_ts="ts")
+    return out.select("interval_id", "event_id")
+
+
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids as flat (label, pos, mean) rows —
     native posexplode + two-phase avg (similarity.embedding_centroids);
@@ -1359,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ops": q_edge_ops,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
+        "interval_join": q_interval_join,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
@@ -1881,6 +1911,17 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
+        ),
+        "interval_join": (
+            # the oracle is the naive cross-product BETWEEN join the
+            # operator avoids — same pairs, quadratic plan
+            "WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events), "
+            "mn AS (SELECT min(us) AS mn FROM e), "
+            "iv AS (SELECT j AS interval_id, mn + j * 162000000000 AS s, "
+            "mn + j * 162000000000 + 10800000000 AS e2 "
+            "FROM range(16) t(j), mn) "
+            "SELECT iv.interval_id, e.event_id FROM e "
+            "JOIN iv ON e.us BETWEEN iv.s AND iv.e2"
         ),
         "sessionize": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us "

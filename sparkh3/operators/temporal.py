@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "time_rollup", "interval_join"]
 
 
 def asof_join(
@@ -251,3 +251,82 @@ def time_rollup(
         )
         out = out.unionByName(cur.select(F.lit(name).alias("grain"), "*"))
     return out
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_ts: str = "ts",
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+    on: str | None = None,
+    bucket_us: int = 3_600_000_000,
+    how: str = "inner",
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval join: every event row matched to every
+    interval row with ``start_us <= event_ts(us) <= end_us`` (inclusive
+    both ends), optionally also requiring equality on ``on``.
+
+    Spark has no native range join, and the naive expression is a
+    cartesian product with a residual filter — O(|events| * |intervals|)
+    candidate pairs. This operator grid-buckets time instead: each
+    interval explodes to the ``bucket_us``-grid buckets it covers
+    (``F.sequence`` — native, no UDF), each event maps to exactly ONE
+    bucket, and the match becomes an equi-join on (bucket [, key]) with
+    the exact BETWEEN residual. A (event, interval) pair can meet in at
+    most one bucket — the event's — so no post-join dedup is needed.
+
+    100 TB shape: one shuffle of each side keyed on the bucket (the
+    event side's exchange is the same one an equi-join would pay);
+    candidate pairs are confined to co-bucketed rows, so cost follows
+    actual temporal overlap, not the cross product. Skewed buckets
+    (everything in one hour) fall back to AQE skew-join handling like
+    any other hot equi-key. ``max_buckets_per_interval`` bounds the
+    explode fan-out (a [0, +inf) interval would otherwise enumerate the
+    whole grid): intervals wider than that raise, and the right fix is
+    a coarser ``bucket_us`` for that workload.
+
+    ``how='left'`` keeps unmatched events with null interval columns.
+    Column names must be disjoint across the two inputs (validated) —
+    rename before joining, as with any equi-join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how}")
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    overlap = set(events.columns) & set(intervals.columns) - {on}
+    if overlap:
+        raise ValueError(
+            f"overlapping column names {sorted(overlap)} — rename one side"
+        )
+    for c in (start_us, end_us):
+        if c not in intervals.columns:
+            raise ValueError(f"intervals has no column {c!r}")
+    w = F.lit(int(bucket_us))
+    s, e = F.col(start_us), F.col(end_us)
+    bad = intervals.filter(
+        s.isNull() | e.isNull() | (e < s)
+        | (((e - e % w) - (s - s % w)) / w >= max_buckets_per_interval)
+    ).limit(1)
+    if bad.count():
+        raise ValueError(
+            "intervals contain null/inverted bounds or spans wider than "
+            f"max_buckets_per_interval={max_buckets_per_interval} "
+            f"buckets of {bucket_us}us — widen bucket_us or split them"
+        )
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(s - s % w, e - e % w, w))
+    )
+    us = _epoch_us(events, event_ts)
+    ev = events.withColumn("_ev_us", us).withColumn(
+        "_b", F.col("_ev_us") - F.col("_ev_us") % w
+    )
+    cond = (ev["_b"] == iv["_b"]) & ev["_ev_us"].between(iv[start_us], iv[end_us])
+    if on is not None:
+        cond = cond & (ev[on] == iv[on])
+    out = ev.join(iv, cond, how)
+    return out.select(
+        *[ev[c] for c in events.columns],
+        *[iv[c] for c in intervals.columns if on is None or c != on],
+    )

@@ -260,3 +260,110 @@ class TestTimeRollup:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ReusedExchange") >= 1, plan
+
+
+class TestIntervalJoin:
+    def _events(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=17 * i))
+             for i in range(n)],
+            "event_id long, ts timestamp_ntz",
+        )
+
+    def _intervals(self, spark):
+        base = int(dt.datetime(2024, 1, 1).timestamp() * 0)  # NTZ epoch math below
+        # NTZ epoch-us of 2024-01-01 00:00:00
+        ntz_us = int(
+            (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()
+        ) * 1_000_000 + base
+        rows = [
+            (j, ntz_us + j * 7_200_000_000, ntz_us + j * 7_200_000_000 + 3_600_000_000)
+            for j in range(8)
+        ]
+        return spark.createDataFrame(
+            rows, "interval_id long, start_us long, end_us long"
+        )
+
+    def test_matches_bruteforce(self, spark):
+        ev, iv = self._events(spark), self._intervals(spark)
+        got = {
+            (r.interval_id, r.event_id)
+            for r in temporal.interval_join(ev, iv).collect()
+        }
+        us = temporal._epoch_us(ev, "ts")
+        brute = {
+            (r.interval_id, r.event_id)
+            for r in ev.withColumn("_us", us)
+            .crossJoin(iv)
+            .filter(F.col("_us").between(F.col("start_us"), F.col("end_us")))
+            .collect()
+        }
+        assert got == brute and len(got) > 0
+
+    def test_no_cartesian_in_plan(self, spark):
+        ev, iv = self._events(spark), self._intervals(spark)
+        plan = (
+            temporal.interval_join(ev, iv)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_left_keeps_unmatched(self, spark):
+        ev, iv = self._events(spark), self._intervals(spark)
+        out = temporal.interval_join(ev, iv, how="left")
+        n_ev = ev.count()
+        matched = temporal.interval_join(ev, iv).count()
+        unmatched = out.filter(F.col("interval_id").isNull()).count()
+        assert out.count() == matched + unmatched
+        assert unmatched == n_ev - temporal.interval_join(ev, iv).select(
+            "event_id"
+        ).distinct().count()
+
+    def test_key_equality(self, spark):
+        ev = self._events(spark).withColumn(
+            "k", (F.col("event_id") % 2).cast("long")
+        )
+        iv = self._intervals(spark).withColumn(
+            "k", (F.col("interval_id") % 2).cast("long")
+        )
+        got = temporal.interval_join(ev, iv, on="k")
+        us = temporal._epoch_us(ev, "ts")
+        brute = (
+            ev.withColumn("_us", us)
+            .crossJoin(iv.select(
+                "interval_id", "start_us", "end_us",
+                F.col("k").alias("_ik")))
+            .filter(
+                F.col("_us").between(F.col("start_us"), F.col("end_us"))
+                & (F.col("k") == F.col("_ik"))
+            )
+        )
+        assert {(r.interval_id, r.event_id) for r in got.collect()} == {
+            (r.interval_id, r.event_id) for r in brute.collect()
+        }
+        assert "k" in got.columns and got.columns.count("k") == 1
+
+    def test_validations(self, spark):
+        ev, iv = self._events(spark), self._intervals(spark)
+        with pytest.raises(ValueError, match="overlapping"):
+            temporal.interval_join(
+                ev.withColumn("start_us", F.lit(0)), iv
+            )
+        with pytest.raises(ValueError, match="inverted|null|wider"):
+            temporal.interval_join(
+                ev,
+                spark.createDataFrame(
+                    [(0, 100, 50)],
+                    "interval_id long, start_us long, end_us long",
+                ),
+            )
+        with pytest.raises(ValueError, match="wider"):
+            temporal.interval_join(
+                ev,
+                spark.createDataFrame(
+                    [(0, 0, 10**15)],
+                    "interval_id long, start_us long, end_us long",
+                ),
+                max_buckets_per_interval=10,
+            )
