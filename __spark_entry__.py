@@ -1225,6 +1225,17 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grain", "bucket_us", "key", "n_events", "sum_value")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, 10
+    docs per lang weighted by n_chars — deterministic keys, so the
+    oracle checks the exact DECISIONS (textops.weighted_sample)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.weighted_sample(
+        docs, k=10, weight_col="n_chars", group_col="lang", seed=3
+    )
+    return out.select("lang", "doc_id", "rank")
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via time-grid bucketing
     (temporal.interval_join): intervals explode to covered hour
@@ -1389,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
         "interval_join": q_interval_join,
+        "weighted_sample": q_weighted_sample,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
@@ -1911,6 +1923,18 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
+        ),
+        "weighted_sample": (
+            # A-ES key round(ln(u)/w, 9): the round makes the ordering
+            # immune to sub-ulp libm ln() differences between engines
+            "WITH t AS (SELECT lang, doc_id, "
+            "round(ln(((((doc_id + 3) % 2147483648) * 2654435761) "
+            "% 4294967296 + 1) / 4294967296.0) "
+            "/ CAST(n_chars AS DOUBLE), 9) AS key FROM documents), "
+            "r AS (SELECT lang, doc_id, CAST(row_number() OVER "
+            "(PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS BIGINT) "
+            "AS rank FROM t) "
+            "SELECT lang, doc_id, rank FROM r WHERE rank <= 10"
         ),
         "interval_join": (
             # the oracle is the naive cross-product BETWEEN join the

@@ -1135,3 +1135,53 @@ def decontaminate(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    IPL 2006): each row draws the key ``u^(1/w)`` with ``u`` a
+    deterministic uniform from the id (det_hash01, shifted into (0,1])
+    and ``w`` its weight; the k largest keys are an exact weighted
+    sample without replacement. One pass, no rejection loop, no RNG
+    state — the standard distributed formulation (it is how Spark's own
+    RDD sampleByKey* thinks about the problem), and deterministic here
+    so the DECISIONS are oracle-checkable.
+
+    The ordering key is computed as ``round(ln(u)/w, 9)`` — a strictly
+    monotone transform of u^(1/w), rounded so a <=1-ulp libm difference
+    between engines can never flip an ordering (rounded-equal keys tie
+    and break by id in both engines identically).
+
+    ``group_col=None`` samples k rows globally (single partial top-k —
+    at 100 TB prefer a group column, which makes it one window per
+    group); with a group, k rows per group. Weights must be > 0
+    (validated with one bounded action). Adds ``rank`` (1..k by
+    descending key).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    if df.filter(w.isNull() | (w <= 0)).limit(1).count():
+        raise ValueError(
+            f"weights in {weight_col!r} must all be positive non-null "
+            "(u^(1/w) is undefined otherwise)"
+        )
+    folded = F.pmod(F.col(id_col) + F.lit(seed), F.lit(1 << 31))
+    u = (
+        (F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32)) + F.lit(1))
+        / F.lit(float(1 << 32))
+    )
+    key = F.round(F.log(u) / w, 9)
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    win = part.orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -1042,3 +1042,66 @@ class TestSamplePackDecontam:
         assert r1 <= r4 + 1e-9 <= r8 + 2e-9
         assert r8 == 1.0
         assert r4 >= 0.5
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _np_keys(ids, weights, seed):
+        import numpy as np
+
+        ids = np.asarray(ids, dtype=np.int64)
+        folded = (ids + seed) % (1 << 31)
+        u = ((folded * 2654435761) % (1 << 32) + 1) / float(1 << 32)
+        return np.round(np.log(u) / np.asarray(weights, dtype=float), 9)
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = sorted(
+            (r.doc_id, r.rank)
+            for r in textops.weighted_sample(
+                df, k=5, weight_col="w", seed=11
+            ).collect()
+        )
+        keys = self._np_keys(
+            [i for i, _ in rows], [w for _, w in rows], 11
+        )
+        order = sorted(range(60), key=lambda i: (-keys[i], i))[:5]
+        want = sorted((rows[i][0], r + 1) for r, i in enumerate(order))
+        assert got == want
+
+    def test_per_group_without_replacement(self, spark):
+        rows = [(i, "g%d" % (i % 3), 1.0 + i) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        out = textops.weighted_sample(
+            df, k=4, weight_col="w", group_col="g"
+        ).collect()
+        from collections import Counter
+
+        per = Counter(r.g for r in out)
+        assert per == {"g0": 4, "g1": 4, "g2": 4}
+        assert len({r.doc_id for r in out}) == len(out)
+
+    def test_probability_proportional_to_weight(self):
+        """Property of the A-ES construction itself (NumPy, no Spark):
+        with weights [1,1,1,7], the heavy item wins the k=1 draw ~70%
+        of seeds."""
+        import numpy as np
+
+        wins = 0
+        trials = 2000
+        for seed in range(trials):
+            keys = self._np_keys([10, 11, 12, 13], [1, 1, 1, 7], seed)
+            wins += int(np.argmax(keys) == 3)
+        assert 0.65 < wins / trials < 0.75
+
+    def test_validations(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0)], "doc_id long, w double"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            textops.weighted_sample(df, k=1, weight_col="w")
+        with pytest.raises(ValueError, match="k must be positive"):
+            textops.weighted_sample(df, k=0, weight_col="w")
