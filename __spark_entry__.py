@@ -1225,6 +1225,24 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grain", "bucket_us", "key", "n_events", "sum_value")
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution — two native
+    aggregates (distinct-pair counts, then ln algebra); the
+    diversity/repetition quality signal (textops.token_entropy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.token_entropy(docs)
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 x 256) of per-user event frequencies — the
+    mergeable bounded-state frequency summary; the oracle pins EVERY
+    counter (portable Knuth-hash buckets, operators/sketch.py)."""
+    from sparkh3.operators import sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement, 10
     docs per lang weighted by n_chars — deterministic keys, so the
@@ -1401,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
+        "token_entropy": q_token_entropy,
+        "cms_counts": q_cms_counts,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
@@ -1923,6 +1943,25 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
+        ),
+        "token_entropy": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), ' +')) AS t "
+            "FROM documents), "
+            "tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "e AS (SELECT doc_id, sum(c) AS n, "
+            "sum(c * ln(c)) AS cl FROM tc GROUP BY 1) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+            "round(ln(n) - cl / n, 6) AS token_entropy FROM e"
+        ),
+        "cms_counts": (
+            # every counter of the 4x256 sketch pinned: same Knuth
+            # bucket arithmetic as the Spark build
+            "WITH d AS (SELECT r FROM range(4) t(r)), "
+            "b AS (SELECT r, "
+            "(((user_id + r * 10007) % 2147483648) * 2654435761) "
+            "% 4294967296 % 256 AS bucket FROM events, d) "
+            "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
         ),
         "weighted_sample": (
             # A-ES key round(ln(u)/w, 9): the round makes the ordering

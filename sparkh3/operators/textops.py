@@ -1185,3 +1185,32 @@ def weighted_sample(
         df.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution —
+    the classic diversity/repetition quality signal (low entropy =
+    repetitive or template text). Computed as
+    ``H = ln(n) - (1/n) * sum_t c_t * ln(c_t)`` so the whole thing is
+    two native aggregates: explode -> (doc, token) count (the shuffle
+    carries one row per DISTINCT pair, map-side partially combined) ->
+    one (doc) aggregate. No UDF, no window; returns (id, n_tokens,
+    token_entropy) for the caller to join back if needed — keeping the
+    text column out of both shuffles."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    tc = tok.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
+    c = F.col("_c").cast("double")
+    ent = tc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(c * F.log(c)).alias("_cl"),
+    )
+    n = F.col("_n").cast("double")
+    return ent.select(
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.round(F.log(n) - F.col("_cl") / n, 6).alias("token_entropy"),
+    )

@@ -1105,3 +1105,78 @@ class TestWeightedSample:
             textops.weighted_sample(df, k=1, weight_col="w")
         with pytest.raises(ValueError, match="k must be positive"):
             textops.weighted_sample(df, k=0, weight_col="w")
+
+
+class TestTokenEntropy:
+    def test_values(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),           # one token: H = 0
+                (2, "a b c d"),           # uniform over 4: H = ln 4
+                (3, "a a b"),             # 2/3, 1/3
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.token_entropy)
+            for r in textops.token_entropy(df).collect()
+        }
+        assert got[1] == (4, 0.0)
+        assert got[2] == (4, round(math.log(4), 6))
+        h3_ = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+        assert abs(got[3][1] - h3_) < 1e-6 and got[3][0] == 3
+
+
+class TestCountMin:
+    def _events(self, spark):
+        rows = [(i, int(i % 7)) for i in range(300)] + [(1000 + i, 3) for i in range(100)]
+        return spark.createDataFrame(rows, "event_id long, user_id long")
+
+    def test_estimate_never_underestimates(self, spark):
+        from sparkh3.operators import sketch
+
+        ev = self._events(spark)
+        sk = sketch.countmin_sketch(ev, "user_id", width=64, depth=4)
+        true = {
+            r.user_id: r.n
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        keys = ev.select("user_id").distinct()
+        est = {
+            r.user_id: r.est
+            for r in sketch.cms_estimate(sk, keys, "user_id", 64, 4).collect()
+        }
+        assert set(est) == set(true)
+        for k, t in true.items():
+            assert est[k] >= t
+        # the heavy hitter (user 3: 43+100 hits) estimates within the
+        # eps*N bound for w=64 (eps ~ e/64, N=400 -> slack ~17)
+        assert est[3] - true[3] <= 17
+
+    def test_merge_equals_whole(self, spark):
+        from sparkh3.operators import sketch
+
+        ev = self._events(spark)
+        a = sketch.countmin_sketch(ev.filter("event_id % 2 = 0"), "user_id", 64, 4)
+        b = sketch.countmin_sketch(ev.filter("event_id % 2 = 1"), "user_id", 64, 4)
+        whole = sketch.countmin_sketch(ev, "user_id", 64, 4)
+        merged = sketch.cms_merge(a, b)
+        assert {
+            (r.r, r.bucket, r.cnt) for r in merged.collect()
+        } == {(r.r, r.bucket, r.cnt) for r in whole.collect()}
+
+    def test_bounded_state(self, spark):
+        from sparkh3.operators import sketch
+
+        ev = self._events(spark)
+        sk = sketch.countmin_sketch(ev, "user_id", width=16, depth=2)
+        assert sk.count() <= 32
+
+    def test_validations(self, spark):
+        from sparkh3.operators import sketch
+
+        ev = self._events(spark)
+        with pytest.raises(ValueError, match="positive"):
+            sketch.countmin_sketch(ev, "user_id", width=0)
