@@ -1243,6 +1243,15 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 5-gram fraction (Lee et al. ACL 2022
+    substring-dedup signal at fixed n) — raw grams here for exact
+    oracle parity; hash_grams=True is the at-scale default
+    (textops.cross_doc_ngram_dup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.cross_doc_ngram_dup(docs, n=5, hash_grams=False)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement, 10
     docs per lang weighted by n_chars — deterministic keys, so the
@@ -1420,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
         "token_entropy": q_token_entropy,
+        "cross_dup": q_cross_dup,
         "cms_counts": q_cms_counts,
         "decontam": q_decontam,
         "bm25_search": q_bm25_search,
@@ -1943,6 +1953,24 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
+        ),
+        "cross_dup": (
+            # same gram construction as decontam's twin (1-based
+            # inclusive DuckDB slices; short docs degenerate to one
+            # whole-text gram in both engines)
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), ' +') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 4, 1) + 1), "
+            "i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM t), "
+            "dfreq AS (SELECT gram, count(DISTINCT doc_id) AS nd "
+            "FROM g GROUP BY 1), "
+            "s AS (SELECT g.doc_id, "
+            "CASE WHEN dfreq.nd >= 2 THEN 1.0 ELSE 0.0 END AS d "
+            "FROM g JOIN dfreq USING (gram)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "round(avg(d), 6) AS cross_dup_fraction FROM s GROUP BY 1"
         ),
         "token_entropy": (
             "WITH tok AS (SELECT doc_id, "

@@ -1214,3 +1214,43 @@ def token_entropy(
         F.col("_n").alias("n_tokens"),
         F.round(F.log(n) - F.col("_cl") / n, 6).alias("token_entropy"),
     )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the corpus-level
+    memorization signal behind substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022), approximated at a fixed n instead of suffix-array maximal
+    substrings: for each document, the fraction of its n-gram POSITIONS
+    whose n-gram also occurs in at least one OTHER document. High
+    values mark boilerplate shared across the corpus (headers, license
+    blocks, syndicated text) that intra-document repetition_stats
+    cannot see.
+
+    Shape: ONE tokenize pass; positions explode to (doc, gram);
+    per-gram document frequencies come from a distinct + partial
+    aggregate (with ``hash_grams=True`` — the at-scale default — the
+    dedup shuffle carries (doc, int64) hashes, never gram strings);
+    one big-to-big join back on the gram key scores every position
+    (DSIR's join profile). Returns (id, n_grams, cross_dup_fraction).
+    ``hash_grams=False`` keeps raw strings for exact cross-engine
+    oracle parity."""
+    g = df.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("_g")
+    )
+    if hash_grams:
+        g = g.withColumn("_g", F.xxhash64("_g"))
+    docfreq = g.distinct().groupBy("_g").agg(F.count("*").alias("_nd"))
+    scored = g.join(docfreq, "_g")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.round(
+            F.avg((F.col("_nd") >= 2).cast("double")), 6
+        ).alias("cross_dup_fraction"),
+    )

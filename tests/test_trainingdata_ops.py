@@ -1129,6 +1129,43 @@ class TestTokenEntropy:
         assert abs(got[3][1] - h3_) < 1e-6 and got[3][0] == 3
 
 
+class TestCrossDocDup:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over a sleeping cat"),
+                (3, "completely different words appear in this one here"),
+                (4, "tiny"),  # shorter than n -> one whole-text gram
+                (5, "tiny"),  # duplicate whole-text gram of doc 4
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_fractions(self, spark):
+        got = {
+            r.doc_id: (r.n_grams, r.cross_dup_fraction)
+            for r in textops.cross_doc_ngram_dup(
+                self._docs(spark), n=5, hash_grams=False
+            ).collect()
+        }
+        # docs 1/2 share 5-grams over the common prefix "the quick
+        # brown fox jumps over": positions 0 ("the quick brown fox
+        # jumps") and 1 ("quick brown fox jumps over") of 5 positions.
+        assert got[1] == (5, 0.4)
+        assert got[2] == (5, 0.4)
+        assert got[3] == (4, 0.0)  # 8 words -> 4 positions
+        assert got[4] == (1, 1.0) and got[5] == (1, 1.0)
+
+    def test_hashed_matches_raw(self, spark):
+        docs = self._docs(spark)
+        raw = textops.cross_doc_ngram_dup(docs, n=5, hash_grams=False)
+        hashed = textops.cross_doc_ngram_dup(docs, n=5, hash_grams=True)
+        assert sorted(map(tuple, raw.collect())) == sorted(
+            map(tuple, hashed.collect())
+        )
+
+
 class TestCountMin:
     def _events(self, spark):
         rows = [(i, int(i % 7)) for i in range(300)] + [(1000 + i, 3) for i in range(100)]
