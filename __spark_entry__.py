@@ -1147,6 +1147,28 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (the 100 TB front door for
+    q_decontam): probe-set trigrams compress to a broadcast (word,mask)
+    Bloom table; every training doc reports how many of its distinct
+    trigrams the filter cannot rule out. m_bits deliberately small
+    (32768) so the deterministic, engine-portable false positives are
+    exercised — the oracle reproduces every verdict bit-for-bit
+    (sketch.char_fold + Knuth arithmetic, no xxhash64)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = textops.bloom_decontaminate(
+        train, probe, shingle_n=3, min_overlap=2, m_bits=1 << 15, k=3
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_maybe",
+        F.col("flagged").cast("long").alias("flagged"),
+    )
+
+
 def q_edge_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge bit algebra (mode-2 ids, kernel/traversal.py): build
     synthetic edge ids by SQL arithmetic, extract origin + edge index
@@ -1432,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dup": q_cross_dup,
         "cms_counts": q_cms_counts,
         "decontam": q_decontam,
+        "bloom_decontam": q_bloom_decontam,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -2050,6 +2073,43 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT t.doc_id, p.probe_id, count(*) AS n_shared "
             "FROM t JOIN p USING (gram) GROUP BY 1, 2) "
             "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
+        ),
+        "bloom_decontam": (
+            # full Bloom reproduction: char-fold each distinct trigram,
+            # k=3 Knuth probes into m=32768 bits packed as 32-bit words
+            # (bit_or masks), then min-over-probes membership — same
+            # integer arithmetic as sketch.char_fold/_bucket, so the
+            # deterministic false positives match bit-for-bit
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), ' +') AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(t)-2, 1) + 1), "
+            "i -> array_to_string(t[i:i+2], ' ')))) AS gram FROM toks), "
+            "gh AS (SELECT doc_id, list_reduce(list_prepend("
+            "CAST(0 AS BIGINT), list_transform(range(1, length(gram)+1), "
+            "j -> CAST(ascii(gram[j:j]) AS BIGINT))), "
+            "(acc, c) -> (acc*31 + c) % 2147483648) AS h FROM g), "
+            "ph AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 = 0), "
+            "pb AS (SELECT ((h + r*10007) % 2147483648 * 2654435761) "
+            "% 4294967296 % 32768 AS bit FROM ph, "
+            "(SELECT unnest(range(0, 3)) AS r) rs), "
+            "words AS (SELECT bit // 32 AS word, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS mask "
+            "FROM pb GROUP BY 1), "
+            "th AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 <> 0), "
+            "tp AS (SELECT h, ((h + r*10007) % 2147483648 * 2654435761) "
+            "% 4294967296 % 32768 AS bit FROM th, "
+            "(SELECT unnest(range(0, 3)) AS r) rs), "
+            "v AS (SELECT tp.h, min(CASE WHEN words.mask IS NULL THEN 0 "
+            "ELSE (words.mask >> CAST(tp.bit % 32 AS INT)) & 1 END) AS hit "
+            "FROM tp LEFT JOIN words ON tp.bit // 32 = words.word "
+            "GROUP BY 1), "
+            "s AS (SELECT gh.doc_id, v.hit FROM gh JOIN v USING (h) "
+            "WHERE gh.doc_id % 97 <> 0) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(hit) AS BIGINT) AS n_maybe, "
+            "CAST(CASE WHEN sum(hit) >= 2 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS flagged FROM s GROUP BY 1"
         ),
         "bm25_search": (
             f"WITH q(query_id, term) AS (VALUES {_bm25_values}), "

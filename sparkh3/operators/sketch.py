@@ -18,12 +18,20 @@ SQL engine — the DuckDB oracle pins every counter, not just a summary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparkh3.operators.textops import _KNUTH
 
-__all__ = ["countmin_sketch", "cms_estimate", "cms_merge"]
+__all__ = [
+    "countmin_sketch",
+    "cms_estimate",
+    "cms_merge",
+    "char_fold",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_merge",
+]
 
 # per-row seed stride: any odd constant; rows r=0..d-1 hash with seed
 # r*_ROW_SEED so the d hash functions are pairwise independent-ish
@@ -110,4 +118,118 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionByName(b)
         .groupBy("r", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+# --- Bloom filter (Bloom, CACM 1970) as packed relational bit-words ---
+#
+# Representation: (word, mask) rows with mask = OR of 1 << (bit % 32)
+# over every set bit in 32-bit word `word = bit // 32` — at most
+# m_bits/32 rows however many keys went in, built by one explode +
+# bit_or aggregate (map-side partial combine ORs locally, the shuffle
+# carries <= m/32 rows per partition). Two filters over disjoint data
+# merge by bit_or — the same roll-up property as the count-min table.
+# Probing broadcasts the word table (bounded by construction) so the
+# probe side never shuffles. All hashes are the portable Knuth integer
+# arithmetic above, with strings folded by `char_fold` — so the ENTIRE
+# word table and every membership verdict (including the deterministic
+# false positives) reproduce exactly in any SQL engine.
+
+_WORD_BITS = 32  # 1 << 31 stays positive in a signed 64-bit lane
+
+
+def char_fold(col: Column) -> Column:
+    """Portable string->int31 fold: acc = (acc*31 + codepoint) mod 2^31
+    over the characters. Expressible in identical integer arithmetic in
+    Spark and DuckDB (unlike xxhash64), so string-keyed sketches stay
+    oracle-checkable; '' folds to 0 in both engines."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(
+            acc * F.lit(31) + F.ascii(c).cast("long"), F.lit(1 << 31)
+        ),
+    )
+
+
+def _bloom_probes(key, m_bits: int, k: int):
+    """Array of k (word, bitpos) structs for one integer key."""
+    return F.array(
+        *[
+            F.struct(
+                (_bucket(key, r, m_bits) / F.lit(_WORD_BITS))
+                .cast("long")
+                .alias("word"),
+                F.pmod(_bucket(key, r, m_bits), F.lit(_WORD_BITS)).alias(
+                    "bitpos"
+                ),
+            )
+            for r in range(k)
+        ]
+    )
+
+
+def _check_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits <= 0 or m_bits % _WORD_BITS:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {_WORD_BITS}, got {m_bits}"
+        )
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Build the (word, mask) Bloom table over an integer key column
+    (fold strings with ``char_fold`` first). <= m_bits/32 rows out."""
+    _check_bloom_params(m_bits, k)
+    key = F.col(key_col).cast("long")
+    return (
+        df.select(F.explode(_bloom_probes(key, m_bits, k)).alias("_p"))
+        .select(
+            F.col("_p.word").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), _p.bitpos)").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("mask"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Membership test for every row of ``keys`` against a table built
+    with the same (m_bits, k): adds ``maybe_member`` — false means
+    DEFINITELY absent; true means present-or-false-positive, with the
+    false positives deterministic and engine-portable. The word table is
+    broadcast; the key side stays where it is (no shuffle of keys)."""
+    _check_bloom_params(m_bits, k)
+    key = F.col(key_col).cast("long")
+    probes = keys.select(
+        key_col, F.explode(_bloom_probes(key, m_bits, k)).alias("_p")
+    ).select(
+        key_col,
+        F.col("_p.word").alias("word"),
+        F.col("_p.bitpos").alias("bitpos"),
+    )
+    joined = probes.join(F.broadcast(bloom), ["word"], "left")
+    hit = F.expr(
+        "shiftright(coalesce(mask, CAST(0 AS BIGINT)), bitpos) & 1"
+    )
+    return (
+        joined.groupBy(key_col)
+        .agg((F.min(hit) == F.lit(1)).alias("maybe_member"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Bloom tables built with identical (m_bits, k): OR the
+    words — equivalent to having built one filter over the union."""
+    return (
+        a.unionByName(b).groupBy("word").agg(F.bit_or("mask").alias("mask"))
     )

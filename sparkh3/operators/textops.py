@@ -1137,6 +1137,67 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    probe: DataFrame,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-prefiltered decontamination: per training document, how
+    many of its distinct word-``shingle_n``-grams MIGHT appear in the
+    probe (benchmark) corpus, tested against a Bloom filter of the
+    probe grams instead of the probe grams themselves. Returns every
+    training doc as (id_col, n_grams, n_maybe, flagged) with
+    ``flagged = n_maybe >= min_overlap``.
+
+    This is the 100 TB front door for `decontaminate`: the probe-gram
+    set compresses to <= m_bits/32 (word, mask) rows — a few KB
+    broadcast instead of a broadcast of every benchmark string — and
+    docs the filter clears (the overwhelming majority) never reach the
+    exact join. No false negatives by Bloom construction, so chaining
+    ``flagged`` docs into `decontaminate` is exact; false positives
+    only cost exact-join work. All hashes are the portable char-fold +
+    Knuth arithmetic (sketch.char_fold / sketch.bloom_build), so every
+    verdict — including the deterministic false positives — reproduces
+    in the DuckDB oracle."""
+    from . import sketch
+
+    g = (
+        train.select(
+            F.col(id_col),
+            F.explode(ngrams(F.col(text_col), shingle_n)).alias("_g"),
+        )
+        .distinct()
+        .withColumn("_h", sketch.char_fold(F.col("_g")))
+    )
+    pg = (
+        probe.select(
+            F.explode(ngrams(F.col(text_col), shingle_n)).alias("_g")
+        )
+        .distinct()
+        .select(sketch.char_fold(F.col("_g")).alias("_h"))
+    )
+    bloom = sketch.bloom_build(pg, "_h", m_bits=m_bits, k=k)
+    # probe DISTINCT hashes once, then join verdicts back to (doc, gram)
+    verdicts = sketch.bloom_probe(
+        bloom, g.select("_h").distinct(), "_h", m_bits=m_bits, k=k
+    )
+    maybe = F.col("maybe_member").cast("long")
+    return (
+        g.join(verdicts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(maybe).alias("n_maybe"),
+            (F.sum(maybe) >= F.lit(min_overlap)).alias("flagged"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

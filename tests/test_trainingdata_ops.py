@@ -1166,6 +1166,119 @@ class TestCrossDocDup:
         )
 
 
+class TestBloom:
+    M, K = 1024, 3
+
+    def _py_bloom(self, keys):
+        """Pure-Python reference of bloom_build's packed word table."""
+        words = {}
+        for key in keys:
+            for r in range(self.K):
+                folded = (key + r * 10007) % (1 << 31)
+                bit = (folded * 2654435761) % (1 << 32) % self.M
+                w = bit // 32
+                words[w] = words.get(w, 0) | (1 << (bit % 32))
+        return sorted(words.items())
+
+    def test_word_table_pinned(self, spark):
+        from sparkh3.operators import sketch
+
+        keys = [3, 17, 999_999_999_999, 0]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = sorted(
+            (r.word, r.mask)
+            for r in sketch.bloom_build(df, "k", self.M, self.K).collect()
+        )
+        assert got == self._py_bloom(keys)
+
+    def test_no_false_negatives_and_some_power(self, spark):
+        from sparkh3.operators import sketch
+
+        members = spark.range(0, 200).withColumnRenamed("id", "k")
+        bloom = sketch.bloom_build(members, "k", self.M, self.K)
+        probes = spark.range(0, 2000).withColumnRenamed("id", "k")
+        verdicts = {
+            r.k: r.maybe_member
+            for r in sketch.bloom_probe(
+                bloom, probes, "k", self.M, self.K
+            ).collect()
+        }
+        assert all(verdicts[k] for k in range(200))  # never a false negative
+        fp = sum(verdicts[k] for k in range(200, 2000))
+        # 200*3 of 1024 bits set -> high but sub-1 FP rate; the filter
+        # must still reject a sizable share of non-members
+        assert fp < 1500
+
+    def test_merge_equals_union_build(self, spark):
+        from sparkh3.operators import sketch
+
+        a = spark.range(0, 60).withColumnRenamed("id", "k")
+        b = spark.range(40, 110).withColumnRenamed("id", "k")
+        merged = sketch.bloom_merge(
+            sketch.bloom_build(a, "k", self.M, self.K),
+            sketch.bloom_build(b, "k", self.M, self.K),
+        )
+        union = sketch.bloom_build(
+            a.unionByName(b), "k", self.M, self.K
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+
+    def test_char_fold_portable(self, spark):
+        import duckdb
+
+        from sparkh3.operators import sketch
+
+        vals = ["hello world", "", "a", "the quick brown fox"]
+        df = spark.createDataFrame([(s,) for s in vals], "s string")
+        got = {
+            r.s: r.h
+            for r in df.select(
+                "s", sketch.char_fold(F.col("s")).alias("h")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for s in vals:
+            want = con.sql(
+                "SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                "list_transform(range(1, length(s)+1), "
+                "i -> CAST(ascii(s[i:i]) AS BIGINT))), "
+                f"(acc, c) -> (acc*31 + c) % 2147483648) FROM (SELECT '{s}' AS s)"
+            ).fetchone()[0]
+            assert got[s] == (want if want is not None else 0), s
+
+    def test_validations(self, spark):
+        from sparkh3.operators import sketch
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="multiple"):
+            sketch.bloom_build(df, "k", m_bits=100, k=3)
+        with pytest.raises(ValueError, match="k must be positive"):
+            sketch.bloom_build(df, "k", m_bits=1024, k=0)
+
+    def test_bloom_decontaminate_no_false_negatives(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (97 * 2, "alpha beta gamma delta epsilon"),   # probe doc
+                (1, "alpha beta gamma delta zeta"),           # 2 shared grams
+                (2, "totally unrelated words in this text"),  # 0 true shared
+            ],
+            "doc_id long, text string",
+        )
+        probe = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        got = {
+            r.doc_id: r
+            for r in textops.bloom_decontaminate(
+                train, probe, shingle_n=3, min_overlap=2
+            ).collect()
+        }
+        # doc 1 truly shares 'alpha beta gamma' and 'beta gamma delta'
+        assert got[1].flagged and got[1].n_maybe >= 2
+        assert got[1].n_grams == 3 and got[2].n_grams == 4
+
+
 class TestCountMin:
     def _events(self, spark):
         rows = [(i, int(i % 7)) for i in range(300)] + [(1000 + i, 3) for i in range(100)]
