@@ -26,6 +26,7 @@ from sparkh3 import datagen  # noqa: E402
 from sparkh3 import functions as H3F  # noqa: E402
 from sparkh3.operators import (  # noqa: E402
     joins,
+    setsim,
     similarity,
     spans,
     temporal,
@@ -1147,6 +1148,15 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 4/5 similarity self-join via prefix filtering
+    (AllPairs) — candidates join on each document's RAREST tokens only
+    (operators/setsim.py); the oracle is the brute-force cross join, so
+    a hash match proves the prefix filter loses no pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return setsim.jaccard_similarity_join(docs, 4, 5)
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (the 100 TB front door for
     q_decontam): probe-set trigrams compress to a broadcast (word,mask)
@@ -1455,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
+        "setsim_join": q_setsim_join,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -2073,6 +2084,20 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT t.doc_id, p.probe_id, count(*) AS n_shared "
             "FROM t JOIN p USING (gram) GROUP BY 1, 2) "
             "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
+        ),
+        "setsim_join": (
+            # ground truth = brute-force cross join; the engine's
+            # prefix-filtered plan must reproduce it exactly
+            "WITH s AS (SELECT doc_id, list_distinct("
+            "regexp_split_to_array(trim(text), ' +')) AS st "
+            "FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.st, b.st)) AS i, "
+            "len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS u "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, CAST(i AS BIGINT) AS n_common, "
+            "round(CAST(i AS DOUBLE) / u, 6) AS jaccard "
+            "FROM p WHERE i * 5 >= u * 4"
         ),
         "bloom_decontam": (
             # full Bloom reproduction: char-fold each distinct trigram,

@@ -1166,6 +1166,60 @@ class TestCrossDocDup:
         )
 
 
+class TestSetSimJoin:
+    def _brute(self, rows, p, q):
+        import itertools
+
+        sets = {i: set(t.strip().split()) for i, t in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if i * q >= p * u:
+                want[(a, b)] = (i, round(i / u, 6))
+        return want
+
+    def _random_rows(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 10))))
+            for i in range(50)
+        ]
+        # near-dup cluster + exact dup + single-token docs
+        rows += [
+            (100, "a b c d e"),
+            (101, "a b c d f"),
+            (102, "a b c d e"),
+            (103, "zzz"),
+            (104, "zzz"),
+        ]
+        return rows
+
+    @pytest.mark.parametrize("p,q", [(1, 2), (4, 5), (1, 1)])
+    def test_matches_brute_force(self, spark, p, q):
+        from sparkh3.operators.setsim import jaccard_similarity_join
+
+        rows = self._random_rows(p * 10 + q)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.jaccard)
+            for r in jaccard_similarity_join(df, p, q).collect()
+        }
+        assert got == self._brute(rows, p, q)
+
+    def test_validations(self, spark):
+        from sparkh3.operators.setsim import jaccard_similarity_join
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            jaccard_similarity_join(df, 0, 2)
+        with pytest.raises(ValueError, match="threshold"):
+            jaccard_similarity_join(df, 3, 2)
+
+
 class TestBloom:
     M, K = 1024, 3
 
