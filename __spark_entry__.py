@@ -1148,6 +1148,76 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "probe_id", "n_shared")
 
 
+def _ensure_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic two-snapshot manifest table for the CDC lane,
+    built idempotently under /tmp (build into a tmp dir, atomic rename;
+    re-runs reuse): v1 = documents with doc_id % 3 != 0 as
+    (doc_id, lang, nc, _cell) keyed by a Knuth-spread int cell; v2 =
+    copy-on-write MERGE of updates (doc_id % 7 == 0 rows get nc + 4)
+    and inserts (doc_id % 3 == 0 and % 11 == 0). Every ingredient is
+    closed-form integer arithmetic over the documents table, so the
+    DuckDB oracle reproduces the expected change set without the table
+    layer."""
+    import hashlib
+    import os
+    import shutil
+
+    from sparkh3.sources import manifest
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/sparkh3_fixtures/cdc_{tag}"
+    cur = Path(root) / "metadata" / "current"
+    if cur.exists() and cur.read_text().strip() == "2":
+        return root
+    if Path(root).exists():
+        shutil.rmtree(root)
+    tmp = f"{root}.tmp{os.getpid()}"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cell = F.shiftleft(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)), 28
+    )
+    base = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("nc"),
+        cell.alias("_cell"),
+    )
+    manifest.write_table(base, tmp, "_cell", key_is_int=True)
+    upd = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "nc", F.col("nc") + 4
+    )
+    ins = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 11 == 0)
+    ).select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("nc"),
+        cell.alias("_cell"),
+    )
+    manifest.merge_table(spark, tmp, upd.unionByName(ins), "doc_id")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp)  # another run won the race; use theirs
+    return root
+
+
+def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC) read between manifest snapshots: net row
+    changes v1 -> v2 of a merged table, reading ONLY files added or
+    removed between the snapshots (sources/manifest.table_changes —
+    carried-by-reference files never open). The oracle recomputes the
+    expected change set from the same closed-form delta definition."""
+    from sparkh3.sources import manifest
+
+    root = _ensure_cdc_table(spark, sf_dir)
+    return manifest.table_changes(spark, root, 1, 2, "doc_id").select(
+        "doc_id", "lang", "nc", "_cell", "_change_type"
+    )
+
+
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 4/5 similarity self-join via prefix filtering
     (AllPairs) — candidates join on each document's RAREST tokens only
@@ -1466,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
+        "table_cdc": q_table_cdc,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -2084,6 +2155,24 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT t.doc_id, p.probe_id, count(*) AS n_shared "
             "FROM t JOIN p USING (gram) GROUP BY 1, 2) "
             "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
+        ),
+        "table_cdc": (
+            # expected net changes from the same closed-form delta:
+            # updates = base (% 3 != 0) rows with % 7 == 0 (nc grows by
+            # 4 -> pre+postimage), inserts = % 3 == 0 and % 11 == 0
+            "WITH b AS (SELECT doc_id, lang, "
+            "CAST(length(text) AS BIGINT) AS nc, "
+            "(doc_id * 2654435761) % 4294967296 * 268435456 AS _cell "
+            "FROM documents), "
+            "v1 AS (SELECT * FROM b WHERE doc_id % 3 <> 0) "
+            "SELECT doc_id, lang, nc, _cell, 'insert' AS _change_type "
+            "FROM b WHERE doc_id % 3 = 0 AND doc_id % 11 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, lang, nc, _cell, 'update_preimage' "
+            "FROM v1 WHERE doc_id % 7 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, lang, nc + 4, _cell, 'update_postimage' "
+            "FROM v1 WHERE doc_id % 7 = 0"
         ),
         "setsim_join": (
             # ground truth = brute-force cross join; the engine's

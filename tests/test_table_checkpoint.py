@@ -333,6 +333,82 @@ class TestTableMaintenance:
         assert (tmp_path / "stray.parquet").exists()
 
 
+class TestTableChanges:
+    def test_merge_diff_and_file_boundedness(self, spark, h3_docs, tmp_path):
+        """CDC over a merge: inserts + update pre/postimages come out,
+        unchanged rows in rewritten buckets cancel, and the diff only
+        READS files added/removed between the snapshots."""
+        root = str(tmp_path / "cdc")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        rows = h3_docs.orderBy("doc_id").limit(3).collect()
+        upd = spark.createDataFrame(
+            [
+                (rows[0].doc_id, 9.9, rows[0].lng, rows[0].h3_07),  # update
+                (rows[1].doc_id, rows[1].lat, rows[1].lng, rows[1].h3_07),  # no-op
+                ("doc-cdc-new", rows[2].lat, rows[2].lng, rows[2].h3_07),  # insert
+            ],
+            "doc_id string, lat double, lng double, h3_07 string",
+        )
+        snap2 = manifest.merge_table(spark, root, upd, merge_key="doc_id")
+        ch = manifest.table_changes(
+            spark, root, snap1["version"], snap2["version"], "doc_id"
+        )
+        by_type = {}
+        for r in ch.collect():
+            by_type.setdefault(r._change_type, []).append(r)
+        assert [r.doc_id for r in by_type["insert"]] == ["doc-cdc-new"]
+        assert [r.doc_id for r in by_type["update_preimage"]] == [rows[0].doc_id]
+        assert [r.doc_id for r in by_type["update_postimage"]] == [rows[0].doc_id]
+        assert abs(by_type["update_postimage"][0].lat - 9.9) < 1e-12
+        assert abs(by_type["update_preimage"][0].lat - rows[0].lat) < 1e-12
+        assert "delete" not in by_type  # the no-op upsert row cancels
+        # file-boundedness: the scan set is exactly the snapshot file diff
+        f1 = {f["path"] for f in snap1["files"]}
+        f2 = {f["path"] for f in snap2["files"]}
+        diff_paths = {
+            str((tmp_path / "cdc" / p).resolve())
+            for p in (f1 ^ f2)
+        }
+        read_paths = {
+            str(Path(p[len("file:"):] if p.startswith("file:") else p).resolve())
+            for p in ch.inputFiles()
+        }
+        assert read_paths <= diff_paths
+        assert len(read_paths) < len(f1 | f2)
+
+    def test_delete_diff(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "cdcdel")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        victim = h3_docs.orderBy("doc_id").first().doc_id
+        snap2 = manifest.delete_table(
+            spark, root, F.col("doc_id") == victim
+        )
+        ch = manifest.table_changes(
+            spark, root, snap1["version"], snap2["version"], "doc_id"
+        ).collect()
+        assert [(r.doc_id, r._change_type) for r in ch] == [
+            (victim, "delete")
+        ]
+
+    def test_compaction_diffs_to_zero(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "cdccomp")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        snap2 = manifest.compact_table(spark, root, target_file_bytes=1 << 30)
+        assert snap2["version"] == snap1["version"] + 1
+        ch = manifest.table_changes(
+            spark, root, snap1["version"], snap2["version"], "doc_id"
+        )
+        assert ch.count() == 0  # every row moved files, none changed
+
+    def test_validations(self, spark, h3_docs, tmp_path):
+        root = str(tmp_path / "cdcval")
+        snap = manifest.write_table(h3_docs, root, "h3_07")
+        with pytest.raises(ValueError, match="key_col"):
+            manifest.table_changes(
+                spark, root, snap["version"], snap["version"], "nope"
+            )
+
+
 class TestRangePruningFuzz:
     @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
     def test_signed_ranges_membership_equivalence(self, seed):
