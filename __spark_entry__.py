@@ -35,6 +35,7 @@ from sparkh3.operators import (  # noqa: E402
 from sparkh3.operators.graph import (  # noqa: E402
     connected_components,
     dedup_by_pairs,
+    pagerank,
 )
 
 # ---------------------------------------------------------------------------
@@ -1227,6 +1228,58 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.jaccard_similarity_join(docs, 4, 5)
 
 
+def _pagerank_sql(iterations: int) -> str:
+    """Loop-unrolled DuckDB twin of q_pagerank: the Jaccard >= 4/5 edge
+    set from the brute-force cross join, then one CTE per iteration.
+    Float literals CAST AS DOUBLE everywhere (DuckDB parses bare 0.85
+    as DECIMAL, whose DECIMAL-exact 0.15 differs from the engines'
+    shared IEEE 1.0 - 0.85 ladder by one ulp)."""
+    tel = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)"
+    parts = [
+        "WITH s AS (SELECT doc_id, list_distinct("
+        "regexp_split_to_array(trim(text), ' +')) AS st FROM documents), "
+        "p0 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+        "len(list_intersect(a.st, b.st)) AS i, "
+        "len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS u "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id), "
+        "e0 AS (SELECT ia, ib FROM p0 WHERE i * 5 >= u * 4), "
+        "e AS (SELECT ia AS src, ib AS dst FROM e0 "
+        "UNION SELECT ib, ia FROM e0), "
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), "
+        "nn AS (SELECT count(*) AS c FROM deg), "
+        "r0 AS (SELECT src AS node, "
+        "CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM deg)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f", r{i} AS (SELECT deg.src AS node, {tel} "
+            f"+ CAST(0.85 AS DOUBLE) * coalesce(t.s, CAST(0.0 AS DOUBLE)) "
+            f"AS rank FROM deg LEFT JOIN (SELECT e.dst AS dst, "
+            f"sum(r{i - 1}.rank / d2.d) AS s FROM e "
+            f"JOIN deg d2 ON e.src = d2.src "
+            f"JOIN r{i - 1} ON e.src = r{i - 1}.node GROUP BY 1) t "
+            f"ON deg.src = t.dst)"
+        )
+    parts.append(
+        f" SELECT node AS doc_id, round(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the exact Jaccard >=
+    4/5 similarity graph — centrality-based keeper scoring for dup
+    clusters (operators/graph.pagerank). The oracle unrolls the three
+    iterations as SQL CTEs over the brute-force edge set; float
+    literals are CAST AS DOUBLE so both engines walk the identical
+    IEEE ladder."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = setsim.jaccard_similarity_join(docs, 4, 5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return pagerank(pairs, iterations=3).withColumnRenamed("node", "doc_id")
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (the 100 TB front door for
     q_decontam): probe-set trigrams compress to a broadcast (word,mask)
@@ -1537,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
         "table_cdc": q_table_cdc,
+        "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -2156,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM t JOIN p USING (gram) GROUP BY 1, 2) "
             "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
         ),
+        "pagerank": _pagerank_sql(3),
         "table_cdc": (
             # expected net changes from the same closed-form delta:
             # updates = base (% 3 != 0) rows with % 7 == 0 (nc grows by

@@ -79,6 +79,61 @@ class TestConnectedComponents:
         self._spark = spark
 
 
+class TestPageRank:
+    def _py_pagerank(self, edges, iterations, d=0.85):
+        """Pure-Python reference with the operator's float ladder."""
+        und = set()
+        for a, b in edges:
+            if a != b:
+                und.add((a, b))
+                und.add((b, a))
+        nodes = sorted({a for a, _ in und})
+        deg = {n: sum(1 for a, _ in und if a == n) for n in nodes}
+        n = len(nodes)
+        tel = (1.0 - d) / n
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iterations):
+            incoming = {v: 0.0 for v in nodes}
+            for a, b in sorted(und):
+                incoming[b] += rank[a] / deg[a]
+            rank = {v: tel + d * incoming[v] for v in nodes}
+        return {v: round(r, 6) for v, r in rank.items()}
+
+    def test_matches_python_reference(self, spark):
+        from sparkh3.operators.graph import pagerank
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (2, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+        want = self._py_pagerank(edges, 4)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 2e-6, v
+
+    def test_mass_conserved_and_centrality(self, spark):
+        from sparkh3.operators.graph import pagerank
+
+        # star: center 0 linked to 1..6 — center must dominate
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 7)], "src long, dst long"
+        )
+        rows = pagerank(df, iterations=5).collect()
+        total = sum(r.rank for r in rows)
+        assert abs(total - 1.0) < 1e-4  # no dangling mass on pair graphs
+        ranks = {r.node: r.rank for r in rows}
+        assert ranks[0] > max(ranks[i] for i in range(1, 7)) * 3
+
+    def test_validations(self, spark):
+        from sparkh3.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+        # self-loop-only input -> empty graph, empty typed result
+        loops = spark.createDataFrame([(1, 1)], "src long, dst long")
+        assert pagerank(loops, iterations=2).count() == 0
+
+
 class TestBM25:
     def test_matches_hand_scorer(self, spark):
         corpus = [
