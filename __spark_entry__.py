@@ -1266,6 +1266,25 @@ def _pagerank_sql(iterations: int) -> str:
     return "".join(parts)
 
 
+def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the CDC lane: the per-lang
+    (count, sum nc) rollup of snapshot v1 is MAINTAINED to v2 by
+    applying only the change rows (manifest.rollup_delta +
+    maintain_rollup) — the table is never re-aggregated. The oracle
+    computes v2's rollup directly from the closed-form delta
+    definition, so a hash match proves maintained == recomputed."""
+    from sparkh3.sources import manifest
+
+    root = _ensure_cdc_table(spark, sf_dir)
+    v1 = manifest.read_table(spark, root, version=1)
+    state = v1.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("nc").alias("sum_nc")
+    )
+    changes = manifest.table_changes(spark, root, 1, 2, "doc_id")
+    delta = manifest.rollup_delta(changes, ["lang"], ["nc"])
+    return manifest.maintain_rollup(state, delta, ["lang"], ["nc"])
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 fixed iterations, d=0.85) over the exact Jaccard >=
     4/5 similarity graph — centrality-based keeper scoring for dup
@@ -1591,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join": q_setsim_join,
         "table_cdc": q_table_cdc,
         "pagerank": q_pagerank,
+        "cdc_rollup": q_cdc_rollup,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -2211,6 +2231,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
         ),
         "pagerank": _pagerank_sql(3),
+        "cdc_rollup": (
+            # v2 recomputed directly from the closed-form delta: base
+            # rows (% 3 != 0) with % 7 == 0 updated to nc + 4, plus the
+            # % 3 == 0 and % 11 == 0 inserts
+            "WITH b AS (SELECT doc_id, lang, "
+            "CAST(length(text) AS BIGINT) AS nc FROM documents), "
+            "v2 AS (SELECT lang, CASE WHEN doc_id % 7 = 0 THEN nc + 4 "
+            "ELSE nc END AS nc FROM b WHERE doc_id % 3 <> 0 "
+            "UNION ALL SELECT lang, nc FROM b "
+            "WHERE doc_id % 3 = 0 AND doc_id % 11 = 0) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(nc) AS BIGINT) AS sum_nc FROM v2 GROUP BY 1"
+        ),
         "table_cdc": (
             # expected net changes from the same closed-form delta:
             # updates = base (% 3 != 0) rows with % 7 == 0 (nc grows by

@@ -547,6 +547,61 @@ def table_changes(
     return ins.unionByName(dels).unionByName(pre).unionByName(post)
 
 
+def rollup_delta(
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental-view-maintenance deltas from a ``table_changes``
+    change set, for count+sum rollup states: each change row carries
+    sign +1 (insert / update_postimage) or -1 (delete /
+    update_preimage); one partial-combined aggregate yields
+    (group_cols, d_n, d_sum_<c>...). Self-inverse algebra: applying a
+    change set and then the reverse diff cancels exactly (counts and
+    sums are abelian-group aggregates — max/min are NOT maintainable
+    this way and are deliberately unsupported)."""
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(None))  # unknown change kinds must not silently drop
+    )
+    aggs = [F.sum(sign).alias("d_n")] + [
+        F.sum(sign * F.col(c)).alias(f"d_sum_{c}") for c in sum_cols
+    ]
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+def maintain_rollup(
+    state: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Apply a ``rollup_delta`` to a (group_cols, n, sum_<c>...) state:
+    full-outer merge on the group keys, add counts and sums, drop groups
+    whose count reaches zero (all members deleted). At 100 TB this is
+    the point of CDC: the day's rollup refresh joins |changed groups|
+    delta rows against the state instead of re-aggregating the table."""
+    on = list(group_cols)
+    merged = state.join(delta, on, "outer")
+    n = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+    cols = [F.col(c) for c in on] + [n.alias("n")]
+    for c in sum_cols:
+        cols.append(
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d_sum_{c}"), F.lit(0))
+            ).alias(f"sum_{c}")
+        )
+    return merged.select(*cols).filter(F.col("n") > 0)
+
+
 def compact_table(
     spark: SparkSession,
     root: str,

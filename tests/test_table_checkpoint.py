@@ -408,6 +408,51 @@ class TestTableChanges:
                 spark, root, snap["version"], snap["version"], "nope"
             )
 
+    def test_rollup_maintenance_matches_recompute(
+        self, spark, h3_docs, tmp_path
+    ):
+        """IVM: v1 rollup + change deltas == direct v2 rollup, including
+        a group dropping to zero after deletes."""
+        root = str(tmp_path / "ivm")
+        docs = h3_docs.withColumn(
+            "grp", (F.length("doc_id") % 3).cast("long")
+        )
+        snap1 = manifest.write_table(docs, root, "h3_07")
+        v1 = manifest.read_table(spark, root, version=1)
+        state = v1.groupBy("grp").agg(
+            F.count("*").alias("n"), F.sum("lat").alias("sum_lat")
+        )
+        # delete one whole group + update one row's lat
+        snap2 = manifest.delete_table(spark, root, F.col("grp") == 0)
+        one = (
+            manifest.read_table(spark, root)
+            .orderBy("doc_id")
+            .limit(1)
+            .drop("_h3_int", "_h3_bucket")
+            .withColumn("lat", F.col("lat") + 1.0)
+        )
+        snap3 = manifest.merge_table(spark, root, one, "doc_id")
+        changes = manifest.table_changes(
+            spark, root, snap1["version"], snap3["version"], "doc_id"
+        )
+        delta = manifest.rollup_delta(changes, ["grp"], ["lat"])
+        maintained = manifest.maintain_rollup(
+            state, delta, ["grp"], ["lat"]
+        )
+        direct = (
+            manifest.read_table(spark, root, version=snap3["version"])
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("lat").alias("sum_lat"))
+        )
+        got = {
+            r.grp: (r.n, round(r.sum_lat, 6)) for r in maintained.collect()
+        }
+        want = {
+            r.grp: (r.n, round(r.sum_lat, 6)) for r in direct.collect()
+        }
+        assert got == want
+        assert 0 not in got  # deleted-out group dropped, not n=0 row
+
 
 class TestRangePruningFuzz:
     @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
