@@ -241,6 +241,73 @@ def test_tfidf_single_tokenize_pass(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_setsim_candidates_never_cartesian(spark):
+    """The prefix-filtered similarity join's 100 TB claim: candidate
+    pairs come from an equi-join on prefix tokens — no cartesian or
+    nested-loop node anywhere, token df aggregated two-phase."""
+    from sparkh3.operators.setsim import jaccard_similarity_join
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(jaccard_similarity_join(docs, 4, 5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_bloom_build_and_probe_native_broadcast(spark):
+    """Bloom tables build with a two-phase bit_or aggregate and probe
+    through a BROADCAST join of the word table — the probe side never
+    hash-shuffles to meet the filter; everything stays JVM-native."""
+    from sparkh3.operators import sketch
+
+    keys = spark.range(100).withColumnRenamed("id", "k")
+    bloom = sketch.bloom_build(keys, "k", m_bits=1024, k=3)
+    bplan = _plan(bloom)
+    assert "PythonUDF" not in bplan and "ArrowEval" not in bplan, bplan
+    assert "partial_bit_or" in bplan, bplan
+    probe = sketch.bloom_probe(
+        bloom, spark.range(50).withColumnRenamed("id", "k"), "k", 1024, 3
+    )
+    pplan = _plan(probe)
+    assert "BroadcastHashJoin" in pplan, pplan
+    assert "PythonUDF" not in pplan and "ArrowEval" not in pplan, pplan
+
+
+def test_cross_doc_dup_hashes_before_shuffle(spark):
+    """With hash_grams=True (the at-scale default) the dedup/df shuffle
+    carries int64 gram hashes: xxhash64 runs below the first exchange
+    and no exchange key is the raw gram string."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    plan = _plan(textops.cross_doc_ngram_dup(docs, n=5, hash_grams=True))
+    assert "xxhash64" in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_rollup_maintenance_native_partial(spark):
+    """IVM deltas aggregate two-phase and the state merge is a plain
+    join + projection — no Python anywhere."""
+    from sparkh3.sources import manifest
+
+    ch = spark.createDataFrame(
+        [("en", 5, "insert"), ("en", 7, "delete")],
+        "lang string, nc long, _change_type string",
+    )
+    delta = manifest.rollup_delta(ch, ["lang"], ["nc"])
+    dplan = _plan(delta)
+    assert "partial_sum" in dplan, dplan
+    assert "PythonUDF" not in dplan and "ArrowEval" not in dplan, dplan
+    state = spark.createDataFrame(
+        [("en", 10, 100)], "lang string, n long, sum_nc long"
+    )
+    mplan = _plan(manifest.maintain_rollup(state, delta, ["lang"], ["nc"]))
+    assert "PythonUDF" not in mplan and "ArrowEval" not in mplan, mplan
+
+
 def test_classifier_features_native(spark):
     from sparkh3.operators import classifier
 
