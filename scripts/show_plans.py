@@ -136,6 +136,26 @@ def main() -> None:
         "  hash exchanges (1 = final agg only):",
         hp.count("Exchange hashpartitioning"),
     )
+
+    from sparkh3.operators import sketch
+    from sparkh3.operators.setsim import jaccard_similarity_join
+
+    ss = jaccard_similarity_join(docs, 4, 5)
+    sp = ss._jdf.queryExecution().executedPlan().toString()
+    print("== setsim join: prefix-token equi-join, never cartesian ==")
+    print("  CartesianProduct:", "CartesianProduct" in sp)
+    print("  BroadcastNestedLoopJoin:", "BroadcastNestedLoopJoin" in sp)
+
+    bloom = sketch.bloom_build(
+        docs.select(F.col("doc_id").alias("k")), "k", m_bits=1 << 15, k=3
+    )
+    pb = sketch.bloom_probe(
+        bloom, docs.select(F.col("doc_id").alias("k")), "k", 1 << 15, 3
+    )
+    pbp = pb._jdf.queryExecution().executedPlan().toString()
+    print("== bloom probe: word table broadcast, JVM-native bit tests ==")
+    print("  BroadcastHashJoin:", "BroadcastHashJoin" in pbp)
+    print("  Python nodes:", "PythonUDF" in pbp or "ArrowEval" in pbp)
     spark.stop()
 
 
