@@ -1299,6 +1299,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iterations=3).withColumnRenamed("node", "doc_id")
 
 
+def q_media_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup join (multimodal.
+    phash_neardup_join): banded-hamming equi-join + bit_count verify,
+    exact by pigeonhole. Fingerprints are synthesized with portable
+    integer arithmetic (group base + one flipped bit per member — the
+    'similar images get nearby pHashes' contract), so the oracle is the
+    full cross join over the same fingerprints: a hash match proves the
+    banding loses no pair within distance 4."""
+    from sparkh3.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = F.col("doc_id") % 40
+    base = (
+        F.pmod(g * F.lit(2654435761), F.lit(1 << 31)) * F.lit(1 << 31)
+        + F.pmod((g + 7) * F.lit(2654435761), F.lit(1 << 31))
+    )
+    flip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 31) % 62 AS INT))"
+    )
+    fp = F.when(F.col("doc_id") % 3 == 0, base).otherwise(
+        base.bitwiseXOR(flip)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), fp.alias("phash")
+    )
+    out = multimodal.phash_neardup_join(media, max_distance=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (the 100 TB front door for
     q_decontam): probe-set trigrams compress to a broadcast (word,mask)
@@ -1611,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cdc": q_table_cdc,
         "pagerank": q_pagerank,
         "cdc_rollup": q_cdc_rollup,
+        "media_phash_dup": q_media_phash_dup,
         "bm25_search": q_bm25_search,
         "radius_join": q_radius_join,
         "media_features": q_media_features,
@@ -2231,6 +2263,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, probe_id, n_shared FROM j WHERE n_shared >= 2"
         ),
         "pagerank": _pagerank_sql(3),
+        "media_phash_dup": (
+            # ground truth: full cross join + bit_count(xor) over the
+            # same portable fingerprints
+            "WITH m AS (SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN base ELSE xor(base, "
+            "CAST(1 AS BIGINT) << CAST((doc_id * 31) % 62 AS INT)) END "
+            "AS fp FROM (SELECT doc_id, "
+            "((doc_id % 40) * 2654435761) % 2147483648 * 2147483648 "
+            "+ (((doc_id % 40) + 7) * 2654435761) % 2147483648 AS base "
+            "FROM documents) t) "
+            "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+            "CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming "
+            "FROM m a JOIN m b ON a.media_id < b.media_id "
+            "WHERE bit_count(xor(a.fp, b.fp)) <= 4"
+        ),
         "cdc_rollup": (
             # v2 recomputed directly from the closed-form delta: base
             # rows (% 3 != 0) with % 7 == 0 updated to nc + 4, plus the

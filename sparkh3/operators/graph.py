@@ -180,8 +180,9 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        spark = pairs.sparkSession
-        return spark.createDataFrame([], "node long, rank double")
+        # typed empty result matching the caller's id type (string ids
+        # work too — nothing in the iteration requires numeric nodes)
+        return nodes.withColumn("rank", F.lit(0.0)).limit(0)
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

@@ -114,6 +114,76 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def phash_neardup_join(
+    df: DataFrame,
+    fp_col: str = "phash",
+    id_col: str = "media_id",
+    max_distance: int = 4,
+    bits: int = 62,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate self-join: all unordered pairs
+    whose integer fingerprints differ in <= ``max_distance`` of the low
+    ``bits`` bits — the media-dedup counterpart of text MinHash. EXACT
+    by the pigeonhole banding argument: the fingerprint splits into
+    ``max_distance + 1`` disjoint bit-bands, and hamming(a, b) <= t
+    forces at least one band to match bit-for-bit, so candidates come
+    from an equi-join on (band_idx, band_value) — never a cross
+    product — and the bit_count(xor) verify keeps only true pairs.
+    Returns (id_a, id_b, hamming).
+
+    Unlike textops.simhash_neardup (whose xxhash64 bit votes are not
+    reproducible outside the JVM), this operator is pure integer bit
+    algebra end to end, so with an engine-portable fingerprint (the
+    real pHash of a decoded image, or any agreed arithmetic) every pair
+    — and every rejected pair — reproduces exactly in the SQL oracle.
+    At scale the shuffle carries (id, band) rows only; fan-out per band
+    bucket follows fingerprint collisions, not corpus size."""
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if not 1 <= bits <= 62:
+        # bit 63 is the sign; staying <= 62 keeps every band mask and
+        # xor in non-negative signed-long territory in any engine
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    n_bands = max_distance + 1
+    if bits < n_bands:
+        raise ValueError(f"need bits >= max_distance + 1 = {n_bands}")
+    # mask to the declared width so stray high bits can neither create
+    # phantom hamming distance nor poison a band value
+    fp = F.col(fp_col).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    w = bits // n_bands
+    bands = []
+    for i in range(n_bands):
+        lo = i * w
+        width = bits - lo if i == n_bands - 1 else w
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(fp, lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+    flat = df.select(
+        F.col(id_col).alias("_id"),
+        fp.alias("_fp"),
+        F.explode(F.array(*bands)).alias("_b"),
+    ).select("_id", "_fp", F.col("_b.band").alias("_band"), F.col("_b.val").alias("_val"))
+    cand = (
+        flat.alias("a")
+        .join(flat.alias("b"), ["_band", "_val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a._fp").bitwiseXOR(F.col("b._fp"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_distance)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled timestamp
     (decode stubbed; timestamps exact)."""

@@ -1166,6 +1166,52 @@ class TestCrossDocDup:
         )
 
 
+class TestPhashNearDup:
+    def _brute(self, fps, t, bits=62):
+        import itertools
+
+        mask = (1 << bits) - 1
+        out = {}
+        for (ia, fa), (ib, fb) in itertools.combinations(sorted(fps.items()), 2):
+            h = bin((fa ^ fb) & mask).count("1")
+            if h <= t:
+                out[(ia, ib)] = h
+        return out
+
+    @pytest.mark.parametrize("t,bits", [(4, 62), (2, 16), (0, 8)])
+    def test_matches_brute_force(self, spark, t, bits):
+        import random
+
+        rng = random.Random(t * 100 + bits)
+        fps = {i: rng.getrandbits(bits) for i in range(40)}
+        # planted near-dups: flips within threshold of an anchor
+        anchor = fps[0]
+        for j in range(40, 48):
+            f = anchor
+            for _ in range(rng.randint(0, t)):
+                f ^= 1 << rng.randrange(bits)
+            fps[j] = f
+        df = spark.createDataFrame(
+            list(fps.items()), "media_id long, phash long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in multimodal.phash_neardup_join(
+                df, max_distance=t, bits=bits
+            ).collect()
+        }
+        assert got == self._brute(fps, t, bits)
+
+    def test_validations(self, spark):
+        df = spark.createDataFrame([(1, 5)], "media_id long, phash long")
+        with pytest.raises(ValueError, match="max_distance"):
+            multimodal.phash_neardup_join(df, max_distance=-1)
+        with pytest.raises(ValueError, match="bits"):
+            multimodal.phash_neardup_join(df, bits=63)
+        with pytest.raises(ValueError, match="bits >= max_distance"):
+            multimodal.phash_neardup_join(df, max_distance=10, bits=8)
+
+
 class TestSetSimJoin:
     def _brute(self, rows, p, q):
         import itertools
