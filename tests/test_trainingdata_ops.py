@@ -1265,6 +1265,28 @@ class TestSetSimJoin:
         with pytest.raises(ValueError, match="threshold"):
             jaccard_similarity_join(df, 3, 2)
 
+    def test_fuzz_thresholds_never_lose_pairs(self, spark):
+        """Prefix filtering is exact for ANY rational threshold: sweep
+        p/q over awkward fractions on adversarial doc shapes (singleton
+        sets, identical sets, nested sets)."""
+        import random
+
+        from sparkh3.operators.setsim import jaccard_similarity_join
+
+        rng = random.Random(99)
+        vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> dense overlap
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 8))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for p, q in [(1, 3), (2, 3), (3, 7), (5, 6), (7, 8)]:
+            got = {
+                (r.id_a, r.id_b): (r.n_common, r.jaccard)
+                for r in jaccard_similarity_join(df, p, q).collect()
+            }
+            assert got == self._brute(rows, p, q), (p, q)
+
 
 class TestBloom:
     M, K = 1024, 3
