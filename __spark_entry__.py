@@ -1430,6 +1430,17 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grain", "bucket_us", "key", "n_events", "sum_value")
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate: 1-hour windows sliding every 15
+    minutes (4 overlapping windows per event), epoch-aligned integer-µs
+    starts (temporal.hopping_rollup) — the trailing-window shape
+    tumbling time_rollup cannot express."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.hopping_rollup(
+        ev, width_us=3_600_000_000, slide_us=900_000_000
+    )
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the token distribution — two native
     aggregates (distinct-pair counts, then ln algebra); the
@@ -1631,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ops": q_edge_ops,
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
+        "hopping_window": q_hopping_window,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
         "token_entropy": q_token_entropy,
@@ -2164,6 +2176,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
+        ),
+        "hopping_window": (
+            # each event fans out to width/slide = 4 hop rows; window
+            # start arithmetic identical to temporal.hopping_rollup
+            "WITH e AS (SELECT epoch_us(ts) AS us, event_type AS key, "
+            "value FROM events), "
+            "h AS (SELECT (us - us % 900000000) - i * 900000000 "
+            "AS window_start_us, key, value FROM e, "
+            "(SELECT unnest(range(0, 4)) AS i) r) "
+            "SELECT window_start_us, key, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM h GROUP BY 1, 2"
         ),
         "cross_dup": (
             # same gram construction as decontam's twin (1-based

@@ -253,6 +253,65 @@ def time_rollup(
     return out
 
 
+def hopping_rollup(
+    events: DataFrame,
+    width_us: int,
+    slide_us: int,
+    key: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hopping (sliding) window aggregate — the overlapping-window
+    shape `time_rollup`'s tumbling buckets cannot express (moving
+    averages, trailing-hour counts refreshed every few minutes). Each
+    event lands in exactly ``width_us / slide_us`` windows (validated
+    integer multiple, epoch-aligned starts); window membership is pure
+    integer arithmetic — ``start = (ts - ts % slide) - i*slide`` for
+    hop index i — so every output row reproduces in any SQL engine
+    (Spark's built-in ``F.window(slideDuration=...)`` has the same
+    alignment but a struct/timestamp output; streams should use that,
+    batch oracle parity uses this). Returns
+    (window_start_us, key, n_events, sum_value); windows cover
+    [start, start + width).
+
+    100 TB shape: the explode fan-out is the declared width/slide
+    ratio (a handful), then ONE (window, key) shuffle with map-side
+    partial combine — identical profile to a tumbling rollup with
+    width/slide times the rows."""
+    if width_us <= 0 or slide_us <= 0:
+        raise ValueError("width_us and slide_us must be positive")
+    if width_us % slide_us != 0:
+        raise ValueError(
+            f"width_us ({width_us}) must be an integer multiple of "
+            f"slide_us ({slide_us}) — otherwise windows are not "
+            "epoch-alignable"
+        )
+    n_hops = width_us // slide_us
+    us = _epoch_us(events, ts_col)
+    anchor = us - us % F.lit(slide_us)
+    hopped = events.select(
+        anchor.alias("_anchor"),
+        F.col(key).alias("key"),
+        F.col(value_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hops - 1))).alias("_i"),
+    )
+    return (
+        hopped.select(
+            (
+                F.col("_anchor")
+                - F.col("_i").cast("long") * F.lit(slide_us).cast("long")
+            ).alias("window_start_us"),
+            "key",
+            "_v",
+        )
+        .groupBy("window_start_us", "key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("_v"), 6).alias("sum_value"),
+        )
+    )
+
+
 def interval_join(
     events: DataFrame,
     intervals: DataFrame,

@@ -262,6 +262,58 @@ class TestTimeRollup:
         assert plan.count("ReusedExchange") >= 1, plan
 
 
+class TestHoppingRollup:
+    def test_overlapping_membership(self, spark):
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            # 00:05 -> windows starting 00:00 and 23:30 (prev day)
+            (1, base + dt.timedelta(minutes=5), "a", 1.0),
+            # 00:40 -> windows starting 00:30 and 00:00
+            (2, base + dt.timedelta(minutes=40), "a", 2.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = temporal.hopping_rollup(
+            ev, width_us=3_600_000_000, slide_us=1_800_000_000
+        )
+        got = {
+            r.window_start_us: (r.n_events, r.sum_value)
+            for r in out.collect()
+        }
+        day0 = 1704067200 * 1_000_000
+        half = 1_800_000_000
+        assert got[day0] == (2, 3.0)           # both inside [00:00, 01:00)
+        assert got[day0 - half] == (1, 1.0)    # only 00:05 in [23:30, 00:30)
+        assert got[day0 + half] == (1, 2.0)    # only 00:40 in [00:30, 01:30)
+        # every event appears in exactly width/slide = 2 windows
+        assert sum(n for n, _ in got.values()) == 2 * len(rows)
+
+    def test_degenerates_to_tumbling_when_slide_equals_width(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        hop = temporal.hopping_rollup(
+            ev, width_us=3_600_000_000, slide_us=3_600_000_000
+        )
+        tum = temporal.time_rollup(ev, {"hour": 3_600_000_000}).select(
+            F.col("bucket_us").alias("window_start_us"),
+            "key",
+            "n_events",
+            "sum_value",
+        )
+        assert sorted(map(tuple, hop.collect())) == sorted(
+            map(tuple, tum.collect())
+        )
+
+    def test_validations(self, spark):
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, event_type string, value double"
+        )
+        with pytest.raises(ValueError, match="multiple"):
+            temporal.hopping_rollup(ev, width_us=100, slide_us=33)
+        with pytest.raises(ValueError, match="positive"):
+            temporal.hopping_rollup(ev, width_us=0, slide_us=1)
+
+
 class TestIntervalJoin:
     def _events(self, spark, n=200):
         return spark.createDataFrame(
