@@ -1441,6 +1441,31 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type fixed-width value histogram + one-pass numeric
+    profile (operators/profile.py): the data-quality aggregates run
+    before/after every pipeline stage. Histogram bins are pure IEEE
+    floor(value/width)*width; profile mean/stddev round to 6dp."""
+    from sparkh3.operators import profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile.value_histogram(
+        ev, "value", 25.0, group_col="event_type"
+    )
+
+
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column numeric summary (count/nulls/min/max/
+    mean/stddev per column as rows) over lineitem — the scan happens
+    once for all columns (single aggregate + unpivot)."""
+    from sparkh3.operators import profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile.numeric_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the token distribution — two native
     aggregates (distinct-pair counts, then ln algebra); the
@@ -1643,6 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
         "hopping_window": q_hopping_window,
+        "value_histogram": q_value_histogram,
+        "numeric_profile": q_numeric_profile,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
         "token_entropy": q_token_entropy,
@@ -2176,6 +2203,21 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(sum_value), 6) AS sum_value FROM h GROUP BY 1, 2) "
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
+        ),
+        "value_histogram": (
+            "SELECT event_type, floor(value / CAST(25.0 AS DOUBLE)) "
+            "* CAST(25.0 AS DOUBLE) AS bin_start, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1, 2"
+        ),
+        "numeric_profile": "\nUNION ALL\n".join(
+            f'SELECT \'{c}\' AS "column", '
+            f"CAST(count({c}) AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null, min({c}) AS min, max({c}) AS max, "
+            f"round(avg({c}), 6) AS mean, "
+            f"round(stddev_samp({c}), 6) AS stddev FROM lineitem"
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
         "hopping_window": (
             # each event fans out to width/slide = 4 hop rows; window

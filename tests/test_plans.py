@@ -308,6 +308,20 @@ def test_rollup_maintenance_native_partial(spark):
     assert "PythonUDF" not in mplan and "ArrowEval" not in mplan, mplan
 
 
+def test_numeric_profile_single_scan(spark):
+    """The multi-column profile must read the table ONCE — one parquet
+    scan feeding one aggregate, the per-column rows from an unpivot of
+    the single result row; a scan-per-column regression doubles I/O at
+    every added column."""
+    from sparkh3.operators import profile
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = profile.numeric_profile(li, ["l_quantity", "l_tax"])
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_classifier_features_native(spark):
     from sparkh3.operators import classifier
 

@@ -1166,6 +1166,49 @@ class TestCrossDocDup:
         )
 
 
+class TestProfile:
+    def test_histogram_bins_and_nulls(self, spark):
+        from sparkh3.operators import profile
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 24.9), ("a", 25.0), ("a", -0.1),
+             ("b", 10.0), ("b", None)],
+            "g string, v double",
+        )
+        got = {
+            (r.g, r.bin_start): r.n
+            for r in profile.value_histogram(
+                df, "v", 25.0, group_col="g"
+            ).collect()
+        }
+        assert got == {
+            ("a", 0.0): 2,      # 0.0 and 24.9
+            ("a", 25.0): 1,
+            ("a", -25.0): 1,    # -0.1 floors DOWN, not toward zero
+            ("b", 0.0): 1,      # the null row is excluded
+        }
+        with pytest.raises(ValueError, match="bin_width"):
+            profile.value_histogram(df, "v", 0.0)
+
+    def test_numeric_profile_values(self, spark):
+        import statistics
+
+        from sparkh3.operators import profile
+
+        df = spark.createDataFrame(
+            [(1.0, 10.0), (2.0, None), (3.0, 30.0)], "x double, y double"
+        )
+        got = {r.column: r for r in profile.numeric_profile(df, ["x", "y"]).collect()}
+        assert (got["x"].n, got["x"].n_null) == (3, 0)
+        assert (got["y"].n, got["y"].n_null) == (2, 1)
+        assert (got["x"].min, got["x"].max) == (1.0, 3.0)
+        assert got["x"].mean == 2.0
+        assert abs(got["x"].stddev - round(statistics.stdev([1, 2, 3]), 6)) < 1e-9
+        assert got["y"].mean == 20.0
+        with pytest.raises(ValueError, match="at least one"):
+            profile.numeric_profile(df, [])
+
+
 class TestPhashNearDup:
     def _brute(self, fps, t, bits=62):
         import itertools
