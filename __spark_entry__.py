@@ -1430,6 +1430,40 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grain", "bucket_us", "key", "n_events", "sum_value")
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _funnel_sql(steps: list[str]) -> str:
+    """Chained-CTE DuckDB twin of temporal.funnel's first-touch chain."""
+    parts = [
+        "WITH e AS (SELECT user_id AS u, event_type AS t, "
+        "epoch_us(ts) AS us FROM events), "
+        f"s1 AS (SELECT u, min(us) AS p FROM e WHERE t = '{steps[0]}' "
+        "GROUP BY 1)"
+    ]
+    for k, name in enumerate(steps[1:], start=2):
+        parts.append(
+            f", s{k} AS (SELECT e.u, min(us) AS p FROM e "
+            f"JOIN s{k - 1} USING (u) WHERE t = '{name}' "
+            f"AND us > s{k - 1}.p GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {k} AS step, '{name}' AS step_name, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{k}) AS n_users"
+        for k, name in enumerate(steps, start=1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel signup -> view -> click ->
+    purchase (temporal.funnel): each step is one equi-join of the event
+    stream against the previous step's per-user aggregate — never
+    events x events. Oracle = the identical chain as SQL CTEs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.funnel(ev, _FUNNEL_STEPS)
+
+
 def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window aggregate: 1-hour windows sliding every 15
     minutes (4 overlapping windows per event), epoch-aligned integer-µs
@@ -1668,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "time_rollup": q_time_rollup,
         "hopping_window": q_hopping_window,
+        "funnel": q_funnel,
         "value_histogram": q_value_histogram,
         "numeric_profile": q_numeric_profile,
         "interval_join": q_interval_join,
@@ -2204,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'hour' AS grain, * FROM h "
             "UNION ALL SELECT 'day' AS grain, * FROM d"
         ),
+        "funnel": _funnel_sql(_FUNNEL_STEPS),
         "value_histogram": (
             "SELECT event_type, floor(value / CAST(25.0 AS DOUBLE)) "
             "* CAST(25.0 AS DOUBLE) AS bin_start, "

@@ -312,6 +312,62 @@ def hopping_rollup(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_us: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential conversion funnel: for each user, the EARLIEST time
+    they completed step k strictly after their step-(k-1) completion
+    (first-touch semantics — the canonical product-analytics funnel).
+    ``within_us`` optionally bounds each step-to-step gap. Returns one
+    row per step: (step, step_name, n_users) with n_users
+    monotonically non-increasing.
+
+    100 TB shape: step 1 is one (user, min ts) partial aggregate; each
+    later step is ONE equi-join of the event stream against the
+    previous step's |users|-row aggregate plus another partial min —
+    len(steps)-1 joins total, every intermediate bounded by the user
+    count, never events x events. The same chain written as SQL CTEs
+    is the oracle."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    if within_us is not None and within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    us = _epoch_us(events, ts_col)
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        us.alias("_us"),
+    )
+    reached = (
+        e.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_prev"))
+        .localCheckpoint(eager=True)
+    )
+    counts = [(1, steps[0], reached.count())]
+    for k, name in enumerate(steps[1:], start=2):
+        nxt = e.filter(F.col("_t") == name).join(reached, "_u")
+        cond = F.col("_us") > F.col("_prev")
+        if within_us is not None:
+            cond = cond & (F.col("_us") - F.col("_prev") <= within_us)
+        reached = (
+            nxt.filter(cond)
+            .groupBy("_u")
+            .agg(F.min("_us").alias("_prev"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append((k, name, reached.count()))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        counts, "step int, step_name string, n_users long"
+    )
+
+
 def interval_join(
     events: DataFrame,
     intervals: DataFrame,

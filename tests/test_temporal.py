@@ -314,6 +314,55 @@ class TestHoppingRollup:
             temporal.hopping_rollup(ev, width_us=0, slide_us=1)
 
 
+class TestFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                (u, t, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m))
+                for u, t, m in rows
+            ],
+            "user_id long, event_type string, ts timestamp",
+        )
+
+    def test_first_touch_ordering(self, spark):
+        ev = self._ev(
+            spark,
+            [
+                (1, "a", 0), (1, "b", 10), (1, "c", 20),   # full funnel
+                (2, "b", 0), (2, "a", 5),                  # b BEFORE a: no step 2
+                (3, "a", 0), (3, "c", 5),                  # skips b: stops at 1
+                (4, "b", 0),                               # never did a
+            ],
+        )
+        got = {
+            r.step_name: r.n_users
+            for r in temporal.funnel(ev, ["a", "b", "c"]).collect()
+        }
+        assert got == {"a": 3, "b": 1, "c": 1}
+
+    def test_within_bound_and_first_touch_pin(self, spark):
+        # user 1's FIRST 'a' is at t=0; the later a@40 must NOT re-arm
+        # the window for b@45 (first-touch semantics)
+        ev = self._ev(
+            spark,
+            [(1, "a", 0), (1, "a", 40), (1, "b", 45), (2, "a", 0), (2, "b", 5)],
+        )
+        got = {
+            r.step_name: r.n_users
+            for r in temporal.funnel(
+                ev, ["a", "b"], within_us=10 * 60 * 1_000_000
+            ).collect()
+        }
+        assert got == {"a": 2, "b": 1}
+
+    def test_validations(self, spark):
+        ev = self._ev(spark, [])
+        with pytest.raises(ValueError, match="at least one"):
+            temporal.funnel(ev, [])
+        with pytest.raises(ValueError, match="within_us"):
+            temporal.funnel(ev, ["a"], within_us=0)
+
+
 class TestIntervalJoin:
     def _events(self, spark, n=200):
         return spark.createDataFrame(
