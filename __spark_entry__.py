@@ -25,6 +25,7 @@ from sparkh3 import dataframe as dfo  # noqa: E402
 from sparkh3 import datagen  # noqa: E402
 from sparkh3 import functions as H3F  # noqa: E402
 from sparkh3.operators import (  # noqa: E402
+    fuzzy,
     joins,
     setsim,
     similarity,
@@ -1228,6 +1229,56 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.jaccard_similarity_join(docs, 4, 5)
 
 
+_NATO = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "yankee",
+]
+
+
+def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein <= 2 self-join via q-gram prefix filtering
+    (operators/fuzzy.py, Ed-Join): candidates equi-join on each
+    string's rarest grams only. The vocabulary is part names suffixed
+    with a hash-picked NATO word plus a corrupted twin (one character
+    substituted at a key-derived position) for every 7th part — all
+    portable integer/string arithmetic, so the oracle rebuilds the
+    identical string set and brute-forces levenshtein over it: a hash
+    match proves the prefix filter loses no pair."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    widx = F.pmod(
+        F.pmod(F.col("p_partkey") * F.lit(2654435761), F.lit(1 << 31)),
+        F.lit(24),
+    )
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in _NATO]), (widx + 1).cast("int")
+    )
+    base = part.select(
+        F.col("p_partkey").alias("rid"),
+        F.concat(F.col("p_name"), F.lit(" "), word).alias("s"),
+    )
+    k = (F.col("p_partkey") % 5) + F.lit(2)
+    s0 = F.concat(F.col("p_name"), F.lit(" "), word)
+    twins = part.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + F.lit(10_000_000)).alias("rid"),
+        F.concat(
+            F.substring(s0, F.lit(1), k - 1), F.lit("x"), F.substring(s0, k + 1, F.lit(1 << 30))
+        ).alias("s"),
+    )
+    strings = (
+        base.unionByName(twins)
+        .groupBy("s")
+        .agg(F.min("rid").alias("sid"))
+    )
+    return fuzzy.edit_distance_join(strings, max_dist=2, q=2)
+
+
+def _nato_sql() -> str:
+    """DuckDB list literal of the NATO suffix vocabulary."""
+    return "[" + ", ".join(f"'{w}'" for w in _NATO) + "]"
+
+
 def _pagerank_sql(iterations: int) -> str:
     """Loop-unrolled DuckDB twin of q_pagerank: the Jaccard >= 4/5 edge
     set from the brute-force cross join, then one CTE per iteration.
@@ -1713,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
+        "editdist_join": q_editdist_join,
         "table_cdc": q_table_cdc,
         "pagerank": q_pagerank,
         "cdc_rollup": q_cdc_rollup,
@@ -2425,6 +2477,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CAST(i AS BIGINT) AS n_common, "
             "round(CAST(i AS DOUBLE) / u, 6) AS jaccard "
             "FROM p WHERE i * 5 >= u * 4"
+        ),
+        "editdist_join": (
+            # ground truth = brute-force levenshtein over the identical
+            # synthesized string set; the engine's q-gram prefix-filter
+            # plan must reproduce every pair
+            "WITH w AS (SELECT p_partkey, p_name || ' ' || "
+            f"{_nato_sql()}[CAST((p_partkey * 2654435761) % 2147483648 "
+            "AS BIGINT) % 24 + 1] AS s0 FROM part), "
+            "r AS (SELECT p_partkey AS rid, s0 AS s FROM w "
+            "UNION ALL "
+            "SELECT p_partkey + 10000000, "
+            "substring(s0, 1, (p_partkey % 5) + 1) || 'x' || "
+            "substring(s0, (p_partkey % 5) + 3) "
+            "FROM w WHERE p_partkey % 7 = 0), "
+            "s AS (SELECT min(rid) AS sid, s FROM r GROUP BY s) "
+            "SELECT a.sid AS id_a, b.sid AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+            "FROM s a JOIN s b ON a.sid < b.sid "
+            "AND abs(length(a.s) - length(b.s)) <= 2 "
+            "WHERE levenshtein(a.s, b.s) <= 2"
         ),
         "bloom_decontam": (
             # full Bloom reproduction: char-fold each distinct trigram,
