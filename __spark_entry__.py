@@ -1569,6 +1569,26 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type
+    (sketch.hll_registers/hll_estimate, p=8): mergeable 256-register
+    sketches whose hash, rho (integer bit-smearing, no floating log)
+    and 2^-rho estimator terms are ALL exact binary64 / int64
+    arithmetic — the oracle reproduces the registers AND the rounded
+    estimate bit-for-bit, alongside the exact distinct count."""
+    from sparkh3.operators import sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = sketch.hll_registers(ev, "event_type", "user_id", p=8)
+    est = sketch.hll_estimate(regs, "event_type", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_zero", "hll_estimate", "exact_distinct"
+    )
+
+
 def q_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 5-gram fraction (Lee et al. ACL 2022
     substring-dedup signal at fixed n) — raw grams here for exact
@@ -1761,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "cross_dup": q_cross_dup,
         "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
@@ -2356,6 +2377,42 @@ def oracle_sql() -> dict[str, str]:
             "(((user_id + r * 10007) % 2147483648) * 2654435761) "
             "% 4294967296 % 256 AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
+        ),
+        "hll_distinct": (
+            # full HLL reproduction: 31-bit Knuth hash, rho from
+            # bit-smearing + bit_count (no floating log2), 2^-rho terms
+            # exact in binary64 so the SUM is order-independent, same
+            # alpha/linear-counting ladder as sketch.hll_estimate
+            "WITH h AS (SELECT event_type, "
+            "((user_id % 2147483648) * 2654435761) % 2147483648 AS h "
+            "FROM events WHERE user_id IS NOT NULL), "
+            "b AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w "
+            "FROM h), "
+            "s1 AS (SELECT event_type, bucket, w | (w >> 1) AS w FROM b), "
+            "s2 AS (SELECT event_type, bucket, w | (w >> 2) AS w FROM s1), "
+            "s3 AS (SELECT event_type, bucket, w | (w >> 4) AS w FROM s2), "
+            "s4 AS (SELECT event_type, bucket, w | (w >> 8) AS w FROM s3), "
+            "s5 AS (SELECT event_type, bucket, w | (w >> 16) AS w FROM s4), "
+            "r AS (SELECT event_type, bucket, "
+            "max(24 - bit_count(w)) AS rho FROM s5 GROUP BY 1, 2), "
+            "g AS (SELECT event_type, count(*) AS present, "
+            "sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << "
+            "CAST(rho AS INT) AS DOUBLE)) AS sp FROM r GROUP BY 1), "
+            "e AS (SELECT event_type, CAST(256 - present AS BIGINT) AS "
+            "n_zero, sp + (256 - present) AS s FROM g), "
+            "est AS (SELECT event_type, n_zero, CASE WHEN "
+            "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + "
+            "CAST(1.079 AS DOUBLE) / 256)) * 65536 / s <= "
+            "CAST(640 AS DOUBLE) AND n_zero > 0 THEN "
+            "CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / n_zero) "
+            "ELSE (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + "
+            "CAST(1.079 AS DOUBLE) / 256)) * 65536 / s END AS raw "
+            "FROM e), "
+            "x AS (SELECT event_type, count(DISTINCT user_id) AS "
+            "exact_distinct FROM events GROUP BY 1) "
+            "SELECT est.event_type, n_zero, round(raw, 4) AS "
+            "hll_estimate, CAST(exact_distinct AS BIGINT) AS "
+            "exact_distinct FROM est JOIN x USING (event_type)"
         ),
         "weighted_sample": (
             # A-ES key round(ln(u)/w, 9): the round makes the ordering

@@ -233,3 +233,107 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         a.unionByName(b).groupBy("word").agg(F.bit_or("mask").alias("mask"))
     )
+
+
+# --- HyperLogLog (Flajolet et al., AofA 2007) as relational registers ---
+#
+# Representation: (group, bucket, rho) rows — the classic m = 2^p
+# register array, at most m rows per group however many values went in.
+# Built by one narrow map + a max aggregate (map-side partial combine
+# keeps per-partition state at m rows), and two register tables over
+# disjoint data merge by plain MAX — the same roll-up property as the
+# count-min and Bloom tables, which is what makes per-shard / per-day
+# cardinality sketches composable at 100 TB.
+#
+# Every piece of the pipeline is engine-portable by construction: the
+# hash is the 31-bit Knuth mix (pure int64 arithmetic), rho comes from
+# integer bit-smearing + bit_count (no floating log), and the estimator
+# sums 2^-rho terms that are all EXACT in binary64 (the 53-bit mantissa
+# spans the whole 2^0..2^-24 range), so the raw-estimate float is
+# bit-identical in Spark and DuckDB and the oracle can pin the
+# ESTIMATE itself, not just the registers.
+
+_HLL_P_MIN, _HLL_P_MAX = 4, 16
+
+
+def _hll_check(p: int) -> None:
+    if not (_HLL_P_MIN <= p <= _HLL_P_MAX):
+        raise ValueError(
+            f"p must be in [{_HLL_P_MIN}, {_HLL_P_MAX}], got {p}"
+        )
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """Build per-group HLL registers from an integer value column.
+    Returns (group_col, bucket, rho) with rho >= 1 — at most 2^p rows
+    per group regardless of input size. Null values are ignored (they
+    carry no identity to count)."""
+    _hll_check(p)
+    m = 1 << p
+    payload_bits = 31 - p
+    key = F.pmod(F.col(value_col).cast("long"), F.lit(1 << 31))
+    h = F.pmod(key * F.lit(_KNUTH), F.lit(1 << 31))
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), h.alias("_h"))
+        .withColumn("bucket", F.pmod(F.col("_h"), F.lit(m)))
+        .withColumn("_w", F.expr(f"_h div {m}"))
+    )
+    # integer bit-length via smearing + bit_count (no floating log2):
+    # after OR-ing in all right-shifts, popcount == bit length exactly
+    d = d.withColumn("_s", F.col("_w"))
+    for s in (1, 2, 4, 8, 16):
+        d = d.withColumn("_s", F.expr(f"_s | (_s >> {s})"))
+    rho = F.lit(payload_bits + 1) - F.bit_count("_s")
+    return (
+        d.withColumn("_rho", rho.cast("long"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables built with identical p: per-bucket MAX
+    — equivalent to having sketched the union."""
+    group_col, bucket = a.columns[0], a.columns[1]
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, bucket)
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_col: str, p: int = 8) -> DataFrame:
+    """Per-group cardinality estimate from a register table. Returns
+    (group_col, n_zero, hll_estimate) with the estimate rounded to 4
+    decimals; n_zero is the count of untouched registers (the V of the
+    small-range correction). Uses the standard alpha_m bias constant
+    and the linear-counting branch when E <= 2.5m and V > 0; the
+    31-bit hash space makes the large-range branch irrelevant below
+    ~10^8 distinct (documented operating range)."""
+    _hll_check(p)
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # 2^-rho via integer shift + exact division (never libm pow): every
+    # term and therefore the SUM are exact binary64 values
+    term = F.expr(
+        "CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), "
+        "CAST(rho AS INT)) AS DOUBLE)"
+    )
+    g = regs.groupBy(group_col).agg(
+        F.count("*").alias("_present"), F.sum(term).alias("_sp")
+    )
+    n_zero = (F.lit(m) - F.col("_present")).cast("long")
+    s_all = F.col("_sp") + n_zero.cast("double")
+    e_raw = F.lit(alpha * (m * m)) / s_all
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+    ).otherwise(e_raw)
+    return g.select(
+        group_col,
+        n_zero.alias("n_zero"),
+        F.round(est, 4).alias("hll_estimate"),
+    )

@@ -1495,3 +1495,80 @@ class TestCountMin:
         ev = self._events(spark)
         with pytest.raises(ValueError, match="positive"):
             sketch.countmin_sketch(ev, "user_id", width=0)
+
+
+class TestHyperLogLog:
+    def _regs(self, spark, vals, p=8):
+        from sparkh3.operators import sketch
+
+        df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+        return sketch.hll_registers(df, "g", "v", p=p)
+
+    def _py_regs(self, vals, p=8):
+        """Pure-Python reference of hll_registers."""
+        m = 1 << p
+        regs = {}
+        for v in vals:
+            h = ((v % (1 << 31)) * 2654435761) % (1 << 31)
+            bucket, w = h % m, h // m
+            rho = (31 - p) + 1 - w.bit_length()
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    def test_registers_match_reference(self, spark):
+        vals = [i * 7919 + 13 for i in range(500)] + [0, 1, (1 << 31) - 1]
+        got = {
+            r.bucket: r.rho for r in self._regs(spark, vals).collect()
+        }
+        assert got == self._py_regs(vals)
+
+    def test_estimate_accuracy_and_exactness_bounds(self, spark):
+        from sparkh3.operators import sketch
+
+        n = 2000
+        regs = self._regs(spark, [i * 104729 + 7 for i in range(n)])
+        row = sketch.hll_estimate(regs, "g", p=8).collect()[0]
+        # p=8 standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert abs(row.hll_estimate - n) / n < 0.20
+
+    def test_linear_counting_branch_small_n(self, spark):
+        from sparkh3.operators import sketch
+
+        import math
+
+        regs = self._regs(spark, list(range(40)))
+        row = sketch.hll_estimate(regs, "g", p=8).collect()[0]
+        present = len(self._py_regs(list(range(40))))
+        v = 256 - present
+        assert row.n_zero == v
+        assert row.hll_estimate == round(256.0 * math.log(256.0 / v), 4)
+
+    def test_merge_equals_union(self, spark):
+        from sparkh3.operators import sketch
+
+        a = [i * 31 + 5 for i in range(300)]
+        b = [i * 17 + 2 for i in range(300)]
+        merged = sketch.hll_merge(
+            self._regs(spark, a), self._regs(spark, b)
+        )
+        whole = self._regs(spark, a + b)
+        assert {
+            (r.bucket, r.rho) for r in merged.collect()
+        } == {(r.bucket, r.rho) for r in whole.collect()}
+
+    def test_p_validation(self, spark):
+        from sparkh3.operators import sketch
+
+        with pytest.raises(ValueError):
+            sketch.hll_registers(None, "g", "v", p=3)
+        with pytest.raises(ValueError):
+            sketch.hll_estimate(None, "g", p=17)
+
+    def test_nulls_ignored(self, spark):
+        from sparkh3.operators import sketch
+
+        df = spark.createDataFrame(
+            [("g", 1), ("g", None), ("g", 2)], "g string, v long"
+        )
+        regs = sketch.hll_registers(df, "g", "v", p=8)
+        assert regs.count() == len(self._py_regs([1, 2]))
