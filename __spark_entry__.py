@@ -1569,6 +1569,27 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_count) over a
+    deterministic event-interaction graph: node a = user_id % 2000,
+    node b = Knuth-mixed event_id % 2000. Degree-ordered orientation
+    bounds the wedge fan-out at O(sqrt(m)) per node; the oracle is the
+    naive three-way canonical-edge join (a < b < c), so a hash match
+    proves the oriented enumeration finds every triangle exactly
+    once."""
+    from sparkh3.operators.graph import triangle_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2000)).alias("src"),
+        F.pmod(
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1 << 31)),
+            F.lit(2000),
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event_type
     (sketch.hll_registers/hll_estimate, p=8): mergeable 256-register
@@ -1782,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dup": q_cross_dup,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
+        "triangles": q_triangles,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
@@ -2377,6 +2399,20 @@ def oracle_sql() -> dict[str, str]:
             "(((user_id + r * 10007) % 2147483648) * 2654435761) "
             "% 4294967296 % 256 AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
+        ),
+        "triangles": (
+            # ground truth = naive three-way join over canonical edges
+            # with a < b < c; each triangle credits all three corners
+            "WITH raw AS (SELECT user_id % 2000 AS s, "
+            "((event_id * 2654435761) % 2147483648) % 2000 AS t "
+            "FROM events), "
+            "e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b "
+            "FROM raw WHERE s <> t), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) "
+            "SELECT node, count(*) AS n_triangles FROM ("
+            "SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1"
         ),
         "hll_distinct": (
             # full HLL reproduction: 31-bit Knuth hash, rho from

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_by_pairs", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_by_pairs",
+    "pagerank",
+    "triangle_count",
+]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -226,3 +231,84 @@ def dedup_by_pairs(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "anti")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph given
+    as (src, dst) pairs (duplicates/loops/reversed copies tolerated —
+    canonicalized internally). Returns (node, n_triangles) for every
+    node that closes at least one triangle.
+
+    Degree-ordered orientation (Cohen, "Graph Twiddling in a MapReduce
+    World", CiSE 2009; the compact-forward scheme): each undirected
+    edge is directed from its lower-(degree, id) endpoint to the
+    higher one, so every wedge is enumerated exactly once AT its
+    lowest-degree corner. The wedge join's fan-out per node is then
+    bounded by its ORIENTED out-degree, O(sqrt(m)) on any graph — the
+    hub nodes that would quadratically dominate a naive shared-neighbor
+    join contribute almost nothing. Two self-equi-joins, (long, long)
+    tuples only; no UDF.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(edges.columns[0]), F.col(edges.columns[1])).alias(
+                "a"
+            ),
+            F.greatest(
+                F.col(edges.columns[0]), F.col(edges.columns[1])
+            ).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): strict total order, so exactly one
+    # direction per edge and no 2-cycles
+    oriented = (
+        canon.join(deg.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("apex"),
+            F.col("e1.v").alias("x"),
+            F.col("e2.v").alias("y"),
+        )
+    )
+    # a wedge closes iff (x, y) is an edge in EITHER orientation; the
+    # oriented set keeps one direction, so probe with the canonical pair
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select(
+        F.col("apex"), F.col("x"), F.col("y")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -343,3 +343,56 @@ class TestReviewRegressions:
         assert tuning.parse_mem("8gb") == 8 * (1 << 30)
         assert tuning.parse_mem("512mb") == 512 * (1 << 20)
         assert tuning.parse_mem("2t") == 2 * (1 << 40)
+
+
+class TestTriangleCount:
+    def _brute(self, edge_list):
+        import itertools
+
+        adj = set()
+        nodes = set()
+        for s, t in edge_list:
+            if s == t:
+                continue
+            adj.add((min(s, t), max(s, t)))
+            nodes.update((s, t))
+        counts = {}
+        for a, b, c in itertools.combinations(sorted(nodes), 3):
+            if (
+                (a, b) in adj and (a, c) in adj and (b, c) in adj
+            ):
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    def test_matches_brute_force_random_graph(self, spark):
+        from sparkh3.operators.graph import triangle_count
+
+        # deterministic pseudo-random graph with hubs (skewed degrees)
+        edges = [
+            ((i * 7919) % 60, (i * i * 104729 + i) % 60) for i in range(400)
+        ] + [(0, j) for j in range(1, 40)]  # hub node 0
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.n_triangles for r in triangle_count(df).collect()
+        }
+        assert got == self._brute(edges)
+
+    def test_loops_and_reversed_duplicates_ignored(self, spark):
+        from sparkh3.operators.graph import triangle_count
+
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 2), (1, 3)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.n_triangles for r in triangle_count(df).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_free_graph_empty(self, spark):
+        from sparkh3.operators.graph import triangle_count
+
+        # a star has no triangles
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 10)], ["src", "dst"]
+        )
+        assert triangle_count(df).count() == 0
