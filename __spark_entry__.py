@@ -1569,6 +1569,32 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization with forward fill
+    (temporal.resample_ffill): every hourly bucket between a user's
+    first and last event, carrying the last observed (rounded) hourly
+    sum across gaps — sequence()+explode dense grid, left join, one
+    last(ignorenulls) window. Oracle: generate_series grid +
+    last_value IGNORE NULLS in DuckDB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") % 31 == 0
+    )
+    return temporal.resample_ffill(
+        ev, "user_id", "ts", "value", step_us=3_600_000_000
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (temporal.transition_matrix): lag window ordered by
+    (epoch-µs, event_id — the deterministic tiebreaker), counts and
+    exact-ratio probabilities."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.transition_matrix(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (graph.triangle_count) over a
     deterministic event-interaction graph: node a = user_id % 2000,
@@ -1804,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "triangles": q_triangles,
+        "gap_fill": q_gap_fill,
+        "event_transitions": q_event_transitions,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
@@ -2399,6 +2427,38 @@ def oracle_sql() -> dict[str, str]:
             "(((user_id + r * 10007) % 2147483648) * 2654435761) "
             "% 4294967296 % 256 AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
+        ),
+        "gap_fill": (
+            # identical grid + forward-fill chain: rounded hourly sums,
+            # dense generate_series grid, last_value IGNORE NULLS
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, value "
+            "FROM events WHERE user_id % 31 = 0), "
+            "b AS (SELECT user_id, us - us % 3600000000 AS b, value "
+            "FROM e), "
+            "obs AS (SELECT user_id, b, round(sum(value), 6) AS obs "
+            "FROM b GROUP BY 1, 2), "
+            "span AS (SELECT user_id, min(b) AS lo, max(b) AS hi "
+            "FROM b GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi + 3600000000, "
+            "3600000000)) AS bucket FROM span) "
+            "SELECT g.user_id, g.bucket, "
+            "last_value(o.obs IGNORE NULLS) OVER (PARTITION BY g.user_id "
+            "ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS value, o.obs IS NULL AS is_gap "
+            "FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id "
+            "AND g.bucket = o.b"
+        ),
+        "event_transitions": (
+            # same lag chain with the same (us, event_id) tiebreak; the
+            # probability is an exact integer ratio rounded once
+            "WITH s AS (SELECT event_type AS to_state, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS from_state FROM events), "
+            "c AS (SELECT from_state, to_state, count(*) AS n FROM s "
+            "WHERE from_state IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_state, to_state, CAST(n AS BIGINT) AS n, "
+            "round(CAST(n AS DOUBLE) / sum(n) OVER "
+            "(PARTITION BY from_state), 6) AS prob FROM c"
         ),
         "triangles": (
             # ground truth = naive three-way join over canonical edges

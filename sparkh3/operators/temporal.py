@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "time_rollup", "interval_join"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "time_rollup",
+    "interval_join",
+    "resample_ffill",
+    "transition_matrix",
+]
 
 
 def asof_join(
@@ -444,4 +451,101 @@ def interval_join(
     return out.select(
         *[ev[c] for c in events.columns],
         *[iv[c] for c in intervals.columns if on is None or c != on],
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Regularize an irregular time series per key onto a fixed grid
+    with forward fill: one row per (key, bucket) for EVERY bucket from
+    the key's first to last observation, carrying the last observed
+    value across gaps. Returns (key, bucket, value, is_gap).
+
+    Stages: per-key (min, max) bucket aggregate -> sequence() + explode
+    builds the dense grid (the explode fan-out is bounded by the key's
+    time span over step, not by row count) -> left join the per-bucket
+    aggregate (SUM of the value inside each bucket, rounded so both
+    engines agree bit-for-bit) -> last(ignorenulls) window carries
+    values forward. Two shuffles total (grid agg + window), both on the
+    key — at 100 TB the grid never materializes wider than span/step
+    rows per key, and the window state is one value. No UDF.
+    """
+    if step_us <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+    us = _epoch_us(df, ts_col)
+    bucketed = df.select(
+        F.col(key_col).alias("_k"),
+        (us - F.pmod(us, F.lit(step_us))).alias("_b"),
+        F.col(value_col).alias("_v"),
+    )
+    obs = bucketed.groupBy("_k", "_b").agg(
+        F.round(F.sum("_v"), 6).alias("_obs")
+    )
+    span = bucketed.groupBy("_k").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_us))
+        ).alias("_b"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(obs, ["_k", "_b"], "left").select(
+        F.col("_k").alias(key_col),
+        F.col("_b").alias("bucket"),
+        F.last("_obs", ignorenulls=True).over(w).alias("value"),
+        F.col("_obs").isNull().alias("is_gap"),
+    )
+    return filled
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key event
+    sequences: for every observed (from_state, to_state) pair, the
+    transition count and probability (count / all transitions leaving
+    from_state). Returns (from_state, to_state, n, prob) with prob
+    rounded to 6 decimals — an exact integer ratio, so engine-portable.
+
+    One lag window per key (ordered by timestamp with a deterministic
+    tiebreaker — required for cross-engine reproducibility when
+    timestamps collide) + one aggregate. The window shuffles on the
+    key; the aggregate state is |states|^2 rows however large the
+    input.
+    """
+    us = _epoch_us(df, ts_col)
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(tiebreak_col).asc())
+    steps = (
+        df.select(
+            F.col(state_col).alias("to_state"),
+            F.lag(F.col(state_col)).over(w).alias("from_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n")
+    )
+    totals = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(totals), 6
+        ).alias("prob"),
     )

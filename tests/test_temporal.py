@@ -468,3 +468,90 @@ class TestIntervalJoin:
                 ),
                 max_buckets_per_interval=10,
             )
+
+
+class TestResampleFfill:
+    def test_dense_grid_and_forward_fill(self, spark):
+        from datetime import datetime
+
+        from sparkh3.operators.temporal import resample_ffill
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 10), 2.0),
+            (1, datetime(2024, 1, 1, 0, 50), 3.0),  # same bucket -> sum 5
+            (1, datetime(2024, 1, 1, 3, 5), 7.0),   # 2-hour gap
+            (2, datetime(2024, 1, 1, 5, 0), 1.0),
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        got = {
+            (r.k, r.bucket, r.value, r.is_gap)
+            for r in resample_ffill(df, "k", "ts", "v").collect()
+        }
+        h = 3_600_000_000
+        base = int(
+            datetime(2024, 1, 1).timestamp() * 0
+        )  # buckets are tz-free epoch us; compute from known epoch
+        t0 = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z
+        assert got == {
+            (1, t0, 5.0, False),
+            (1, t0 + h, 5.0, True),
+            (1, t0 + 2 * h, 5.0, True),
+            (1, t0 + 3 * h, 7.0, False),
+            (2, t0 + 5 * h, 1.0, False),
+        }
+
+    def test_single_observation_single_row(self, spark):
+        from datetime import datetime
+
+        from sparkh3.operators.temporal import resample_ffill
+
+        df = spark.createDataFrame(
+            [(9, datetime(2024, 6, 1, 12, 30), 4.5)], ["k", "ts", "v"]
+        )
+        out = resample_ffill(df, "k", "ts", "v").collect()
+        assert len(out) == 1 and out[0].is_gap is False
+
+    def test_step_validation(self, spark):
+        from sparkh3.operators.temporal import resample_ffill
+
+        with pytest.raises(ValueError):
+            resample_ffill(None, "k", "ts", "v", step_us=0)
+
+
+class TestTransitionMatrix:
+    def test_counts_probs_and_tiebreak(self, spark):
+        from datetime import datetime
+
+        from sparkh3.operators.temporal import transition_matrix
+
+        t = datetime(2024, 1, 1, 0, 0)
+        t2 = datetime(2024, 1, 1, 0, 1)
+        rows = [
+            # user 1: a -> b -> a (b,a share ts; event_id breaks tie)
+            (1, t, "a", 10),
+            (1, t2, "b", 11),
+            (1, t2, "a", 12),
+            # user 2: a -> c
+            (2, t, "a", 20),
+            (2, t2, "c", 21),
+        ]
+        df = spark.createDataFrame(rows, ["u", "ts", "state", "eid"])
+        got = {
+            (r.from_state, r.to_state, r.n, r.prob)
+            for r in transition_matrix(df, "u", "ts", "state", "eid").collect()
+        }
+        assert got == {
+            ("a", "b", 1, 0.5),
+            ("a", "c", 1, 0.5),
+            ("b", "a", 1, 1.0),
+        }
+
+    def test_single_event_users_produce_nothing(self, spark):
+        from datetime import datetime
+
+        from sparkh3.operators.temporal import transition_matrix
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), "a", 1)], ["u", "ts", "state", "eid"]
+        )
+        assert transition_matrix(df, "u", "ts", "state", "eid").count() == 0
