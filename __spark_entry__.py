@@ -1569,6 +1569,45 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/analytic.py): parts not
+    dominated on (cheapest price, largest size) — two-stage
+    partition-local NumPy frontier prune + one small finalize pass; the
+    oracle is the quadratic NOT EXISTS dominance query."""
+    from sparkh3.operators.analytic import skyline
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of (quantized) value over hours since
+    the dataset start (profile.group_trend_fit): all five sufficient
+    statistics accumulate as EXACT int64 partial aggregates — the
+    result is partition-order independent, unlike float covariance
+    accumulation, and the closing divisions are single exact-rounded
+    IEEE ops the oracle reproduces bit-for-bit."""
+    from sparkh3.operators.profile import group_trend_fit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = temporal._epoch_us(ev, "ts")
+    # exact integer floor-div: subtract the remainder first (the double
+    # quotient of an exact multiple is exact)
+    hour = (
+        (us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)
+    ).cast("long")
+    base = ev.select(hour.alias("_hour"), "event_type", "value")
+    hmin = base.agg(F.min("_hour").alias("_h0"))
+    fixed = base.crossJoin(F.broadcast(hmin)).select(
+        "event_type",
+        (F.col("_hour") - F.col("_h0")).alias("x"),
+        F.round(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    return group_trend_fit(fixed, "event_type", "x", "y")
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization with forward fill
     (temporal.resample_ffill): every hourly bucket between a user's
@@ -1832,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "gap_fill": q_gap_fill,
         "event_transitions": q_event_transitions,
+        "skyline": q_skyline,
+        "trend_fit": q_trend_fit,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
@@ -2427,6 +2468,35 @@ def oracle_sql() -> dict[str, str]:
             "(((user_id + r * 10007) % 2147483648) * 2654435761) "
             "% 4294967296 % 256 AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
+        ),
+        "skyline": (
+            # ground truth = quadratic NOT EXISTS dominance; raw stored
+            # doubles compared with no arithmetic, so exact cross-engine
+            "SELECT p_partkey, p_retailprice, p_size FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "
+            "b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+            "AND (b.p_retailprice < a.p_retailprice "
+            "OR b.p_size > a.p_size))"
+        ),
+        "trend_fit": (
+            # identical fixed-point ladder: int64 sufficient statistics,
+            # one rounded slope reused inside the intercept
+            "WITH e AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 - (SELECT min(epoch_us(ts) "
+            "// 3600000000) FROM events) AS x, "
+            "CAST(round(value * 1000) AS BIGINT) AS y FROM events), "
+            "g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy "
+            "FROM e GROUP BY 1), "
+            "s AS (SELECT event_type, n, n * sxx - sx * sx AS det, "
+            "CASE WHEN n * sxx - sx * sx <> 0 THEN "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE), 9) END AS slope, "
+            "sx, sy FROM g) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, slope, "
+            "CASE WHEN det <> 0 THEN round((CAST(sy AS DOUBLE) - "
+            "slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) END "
+            "AS intercept FROM s"
         ),
         "gap_fill": (
             # identical grid + forward-fill chain: rounded hourly sums,

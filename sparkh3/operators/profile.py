@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["value_histogram", "numeric_profile"]
+__all__ = ["value_histogram", "numeric_profile", "group_trend_fit"]
 
 
 def value_histogram(
@@ -81,3 +81,60 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(
         F.explode(F.array(*pieces)).alias("_p")
     ).select("_p.*")
+
+
+def group_trend_fit(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit (slope + intercept of
+    y over x) in FIXED-POINT arithmetic: both inputs must already be
+    integer columns (quantize y upstream — e.g. round(value * 1000) —
+    and keep x small, e.g. hours since the dataset minimum). All five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) accumulate as exact
+    int64 partial aggregates, so the shuffle carries five longs per
+    group, the result is independent of partition order (unlike a
+    float covariance accumulation), and the closing slope/intercept
+    divisions are single exact-rounded IEEE ops — bit-identical in any
+    engine. Caller contract: n·Σ|xy| must stay below 2^63 (document
+    the quantization; the lane uses x ≤ ~720, y ≤ ~10^6, n ≤ 10^7).
+
+    Returns (group_col, n, slope, intercept), slope/intercept rounded
+    to 9 decimals, null for degenerate groups (zero x-variance).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    det = g["n"] * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        det != 0,
+        F.round(
+            (g["n"] * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+                "double"
+            )
+            / det.cast("double"),
+            9,
+        ),
+    )
+    intercept = F.when(
+        det != 0,
+        F.round(
+            (
+                F.col("_sy").cast("double")
+                - slope * F.col("_sx").cast("double")
+            )
+            / g["n"].cast("double"),
+            9,
+        ),
+    )
+    return g.select(
+        group_col,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -1,0 +1,130 @@
+"""Skyline and fixed-point trend-fit: exactness vs brute force /
+NumPy references."""
+
+import numpy as np
+import pytest
+
+from sparkh3.operators.analytic import _frontier_indices, skyline
+from sparkh3.operators.profile import group_trend_fit
+
+
+def _brute_skyline(rows, n_min):
+    out = []
+    for a in rows:
+        dominated = False
+        for b in rows:
+            if b is a:
+                continue
+            av = list(a[:n_min]) + [-v for v in a[n_min:]]
+            bv = list(b[:n_min]) + [-v for v in b[n_min:]]
+            if all(x <= y for x, y in zip(bv, av)) and any(
+                x < y for x, y in zip(bv, av)
+            ):
+                dominated = True
+                break
+        if not dominated:
+            out.append(a)
+    return out
+
+
+class TestFrontierKernel:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("d", [1, 2, 3])
+    def test_matches_brute_force(self, seed, d):
+        rng = np.random.RandomState(seed)
+        vals = rng.randint(0, 12, size=(300, d)).astype(np.float64)
+        got = set(map(int, _frontier_indices(vals)))
+        want = set()
+        for i in range(len(vals)):
+            le = (vals <= vals[i]).all(axis=1)
+            lt = (vals < vals[i]).any(axis=1)
+            if not (le & lt).any():
+                want.add(i)
+        assert got == want
+
+    def test_duplicates_all_kept_and_chunk_boundaries(self):
+        # more duplicates than one chunk, all on the frontier
+        vals = np.zeros((1300, 2))
+        vals[1200:] = [5.0, 5.0]  # dominated block
+        got = _frontier_indices(vals)
+        assert sorted(got) == list(range(1200))
+
+    def test_empty(self):
+        assert _frontier_indices(np.empty((0, 2))).size == 0
+
+
+class TestSkyline:
+    def test_two_criteria_vs_brute(self, spark):
+        rows = [
+            (1, 10.0, 5),
+            (2, 10.0, 5),   # duplicate frontier point -> both kept
+            (3, 12.0, 7),
+            (4, 11.0, 7),   # dominates 3
+            (5, 9.0, 1),
+            (6, 13.0, 2),   # dominated by 3/4/5? price high, size low
+            (7, 9.0, 5),    # dominates 1/2/5
+        ]
+        df = spark.createDataFrame(rows, ["id", "price", "size"])
+        got = {
+            r.id
+            for r in skyline(
+                df, minimize=["price"], maximize=["size"]
+            ).collect()
+        }
+        want = set()
+        for rid, p, s in rows:
+            dominated = any(
+                bp <= p and bs >= s and (bp < p or bs > s)
+                for bid, bp, bs in rows
+                if bid != rid
+            )
+            if not dominated:
+                want.add(rid)
+        assert got == want
+
+    def test_random_matches_not_exists(self, spark):
+        rng = np.random.RandomState(7)
+        rows = [
+            (i, float(rng.randint(0, 30)), int(rng.randint(0, 30)))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, ["id", "a", "b"]).repartition(7)
+        got = {
+            r.id for r in skyline(df, minimize=["a", "b"]).collect()
+        }
+        vals = np.array([[r[1], r[2]] for r in rows])
+        want = set()
+        for i in range(len(rows)):
+            le = (vals <= vals[i]).all(axis=1)
+            lt = (vals < vals[i]).any(axis=1)
+            if not (le & lt).any():
+                want.add(rows[i][0])
+        assert got == want
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2.0)], ["id", "x"])
+        with pytest.raises(ValueError):
+            skyline(df)
+        with pytest.raises(ValueError):
+            skyline(df, minimize=["nope"])
+
+
+class TestTrendFit:
+    def test_matches_numpy_lstsq(self, spark):
+        xs = list(range(20))
+        ys = [3 * x + 7 + ((x * 37) % 5 - 2) for x in xs]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in zip(xs, ys)], ["g", "x", "y"]
+        )
+        row = group_trend_fit(df, "g", "x", "y").collect()[0]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert row.n == 20
+        assert abs(row.slope - slope) < 1e-9
+        assert abs(row.intercept - intercept) < 1e-9
+
+    def test_degenerate_group_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5, 1), ("g", 5, 9)], ["g", "x", "y"]
+        )
+        row = group_trend_fit(df, "g", "x", "y").collect()[0]
+        assert row.slope is None and row.intercept is None
