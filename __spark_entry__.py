@@ -1569,6 +1569,16 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-token collocations with PMI
+    (textops.collocations): the statistic is one exact-integer ratio
+    ln((n_xy * N_uni^2)/(N_bi * n_x * n_y)) so the oracle pins every
+    count AND the rounded PMI; deterministic (count desc, bigram asc)
+    rank order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.collocations(docs, min_count=5, k=100)
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier (operators/analytic.py): parts not
     dominated on (cheapest price, largest size) — two-stage
@@ -1873,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "skyline": q_skyline,
         "trend_fit": q_trend_fit,
+        "collocations": q_collocations,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
@@ -2468,6 +2479,27 @@ def oracle_sql() -> dict[str, str]:
             "(((user_id + r * 10007) % 2147483648) * 2654435761) "
             "% 4294967296 % 256 AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
+        ),
+        "collocations": (
+            # identical counts + the single exact-integer PMI ratio
+            "WITH t AS (SELECT regexp_split_to_array(trim(text), ' +') "
+            "AS toks FROM documents), "
+            "uni AS (SELECT unnest(toks) AS x FROM t), "
+            "uc AS (SELECT x, count(*) AS nx FROM uni GROUP BY 1), "
+            "nu AS (SELECT count(*) AS n FROM uni), "
+            "bi AS (SELECT toks[i] AS x, toks[i + 1] AS y FROM t, "
+            "unnest(range(1, greatest(len(toks), 1))) u(i)), "
+            "bc AS (SELECT x, y, count(*) AS n_xy FROM bi GROUP BY 1, 2), "
+            "nb AS (SELECT count(*) AS n FROM bi), "
+            "s AS (SELECT bc.x || ' ' || bc.y AS bigram, n_xy, "
+            "round(ln(CAST(n_xy * nu.n * nu.n AS DOUBLE) / "
+            "CAST(nb.n * ux.nx * uy.nx AS DOUBLE)), 6) AS pmi "
+            "FROM bc, nu, nb "
+            "JOIN uc ux ON bc.x = ux.x JOIN uc uy ON bc.y = uy.x "
+            "WHERE n_xy >= 5), "
+            "r AS (SELECT CAST(row_number() OVER (ORDER BY n_xy DESC, "
+            "bigram ASC) AS BIGINT) AS rank, bigram, n_xy, pmi FROM s) "
+            "SELECT rank, bigram, n_xy, pmi FROM r WHERE rank <= 100"
         ),
         "skyline": (
             # ground truth = quadratic NOT EXISTS dominance; raw stored

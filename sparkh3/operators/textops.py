@@ -1315,3 +1315,72 @@ def cross_doc_ngram_dup(
             F.avg((F.col("_nd") >= 2).cast("double")), 6
         ).alias("cross_dup_fraction"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k collocations (adjacent-token bigrams) by frequency with
+    pointwise mutual information (Church & Hanks, CL 1990):
+    PMI = ln(P(xy) / (P(x)P(y))) computed as ONE exact-integer ratio —
+    ln((n_xy * N_uni^2) / (N_bi * n_x * n_y)) — so the only float ops
+    are a single exact-rounded division and the final ln (rounded to 6
+    decimals), and the whole statistic is engine-portable. Returns
+    (rank, bigram, n_xy, pmi) under the deterministic total order
+    (count desc, bigram asc).
+
+    One tokenize pass; bigrams from two shifted array slices zipped
+    JVM-side (no UDF). The three aggregates (unigram counts, bigram
+    counts, totals) all partially combine map-side; the only wide
+    rows are (token, count) pairs. Caller contract: counts must keep
+    n_xy * N_uni^2 below 2^63 (fine through ~10^9-token corpora at
+    typical bigram counts; hash-bucket the grams beyond that).
+    """
+    if min_count < 1 or k < 1:
+        raise ValueError(f"min_count/k must be >= 1, got {min_count}/{k}")
+    t = df.select(tokens(F.col(text_col)).alias("_t"))
+    uni = t.select(F.explode("_t").alias("_x"))
+    ucnt = uni.groupBy("_x").agg(F.count("*").alias("_nx"))
+    n_uni = uni.agg(F.count("*").alias("_nu"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(_t, 1, size(_t) - 1), "
+                "slice(_t, 2, size(_t) - 1))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.0").alias("_x"), F.col("_p.1").alias("_y"))
+    bcnt = pairs.groupBy("_x", "_y").agg(F.count("*").alias("n_xy"))
+    n_bi = pairs.agg(F.count("*").alias("_nb"))
+    ycnt = ucnt.select(F.col("_x").alias("_y"), F.col("_nx").alias("_ny"))
+    scored = (
+        bcnt.filter(F.col("n_xy") >= min_count)
+        .join(F.broadcast(ucnt), "_x")
+        .join(F.broadcast(ycnt), "_y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat("_x", F.lit(" "), "_y").alias("bigram"),
+            "n_xy",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_xy") * F.col("_nu") * F.col("_nu")
+                    ).cast("double")
+                    / (
+                        F.col("_nb") * F.col("_nx") * F.col("_ny")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("n_xy").desc(), F.col("bigram").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "bigram", "n_xy", "pmi")
+    )

@@ -1572,3 +1572,40 @@ class TestHyperLogLog:
         )
         regs = sketch.hll_registers(df, "g", "v", p=8)
         assert regs.count() == len(self._py_regs([1, 2]))
+
+
+class TestCollocations:
+    def test_counts_and_pmi_hand_computed(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "c a")],
+            ["doc_id", "text"],
+        )
+        out = textops.collocations(docs, min_count=1, k=10).collect()
+        got = {r.bigram: (r.rank, r.n_xy, r.pmi) for r in out}
+        # unigrams: a=4, b=3, c=2, N_uni=9; bigrams: ab=3, ba=1, bc=1,
+        # ca=1, N_bi=6
+        def pmi(nxy, nx, ny):
+            return round(math.log((nxy * 81) / (6 * nx * ny)), 6)
+
+        assert got["a b"] == (1, 3, pmi(3, 4, 3))
+        # ties at n_xy=1 rank alphabetically: "b a" < "b c" < "c a"
+        assert got["b a"] == (2, 1, pmi(1, 3, 4))
+        assert got["b c"] == (3, 1, pmi(1, 3, 2))
+        assert got["c a"] == (4, 1, pmi(1, 2, 4))
+
+    def test_min_count_filters_and_k_caps(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y x y x y"), (2, "p q")], ["doc_id", "text"]
+        )
+        out = textops.collocations(docs, min_count=2, k=1).collect()
+        assert len(out) == 1 and out[0].bigram == "x y"
+
+    def test_single_token_docs_no_bigrams(self, spark):
+        docs = spark.createDataFrame([(1, "solo"), (2, "x")], ["doc_id", "text"])
+        assert textops.collocations(docs, min_count=1).count() == 0
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            textops.collocations(None, min_count=0)
