@@ -332,3 +332,80 @@ def test_classifier_features_native(spark):
     out.collect()
     # the bucket arithmetic stays JVM-side (xxhash64 + portable mod)
     assert "xxhash64" in _plan(out), _plan(out)
+
+
+def test_editdist_candidates_never_cartesian(spark):
+    """Ed-Join's 100 TB claim: long-string candidates come from the
+    prefix-gram equi-join only — no cartesian/nested-loop anywhere in
+    the long path (the short block is broadcast by construction), no
+    Python UDF, gram frequencies aggregated two-phase."""
+    from sparkh3.operators.fuzzy import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(i, f"gradient descent {i}") for i in range(20)],
+        "sid long, s string",
+    )
+    plan = _plan(edit_distance_join(df, max_dist=2, q=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_hll_registers_partial_aggregate_no_udf(spark):
+    """HLL register build is one narrow map + a two-phase max — the
+    shuffle carries (group, bucket, partial max) rows only."""
+    from sparkh3.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(100)], "g string, v long"
+    )
+    plan = _plan(hll_estimate(hll_registers(df, "g", "v"), "g"))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_triangle_count_joins_stay_equi(spark):
+    """Wedge generation and closure are sort-merge/hash EQUI-joins on
+    (long, long) tuples — never a cartesian — and degrees aggregate
+    two-phase."""
+    from sparkh3.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], "src long, dst long"
+    )
+    plan = _plan(triangle_count(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_collocations_single_tokenize_no_udf(spark):
+    """Collocations stay native (split/slice/zip are JVM expressions)
+    and every count aggregate partially combines map-side."""
+    from sparkh3.operators.textops import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(collocations(docs, min_count=1, k=5))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_resample_ffill_grid_native_single_window(spark):
+    """Gap-fill stays native: sequence+explode grid, one window — no
+    UDF, no cartesian; the observation aggregate partially combines."""
+    from datetime import datetime
+
+    from sparkh3.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, h), 1.0) for h in range(8)],
+        "k long, ts timestamp, v double",
+    )
+    plan = _plan(resample_ffill(df, "k", "ts", "v"))
+    assert "PythonUDF" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    assert "partial_min" in plan or "partial_finalmerge" in plan, plan
