@@ -1384,3 +1384,36 @@ def collocations(
         .filter(F.col("rank") <= k)
         .select("rank", "bigram", "n_xy", "pmi")
     )
+
+
+def canonicalize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization for dedup canonicalization: lowercase, replace
+    every non-alphanumeric run with a single space, trim. Adds
+    ``canonical``. Pure native regexp — shuffle-free, and the regex
+    semantics (char classes, global replace) are portable so dedup
+    verdicts on canonical text reproduce in any engine."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return df.withColumn("canonical", F.trim(c))
+
+
+def canonical_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup after canonicalization: groups of documents whose
+    CANONICAL forms collide (case/punctuation/whitespace variants of
+    the same content — the canonical pre-pass every exact-dedup
+    pipeline runs before hashing). Returns one row per group with >= 2
+    members: (keeper_id = min id, n_members). At 100 TB the shuffle
+    should carry (hash(canonical), id) — this returns group stats, so
+    the canonical string itself never leaves the aggregate."""
+    return (
+        canonicalize(df, text_col)
+        .groupBy("canonical")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select("keeper_id", "n_members")
+    )

@@ -140,6 +140,7 @@ def write_table(
     key_is_int: bool = False,
     bucket_bits: int = BUCKET_BITS,
     data_subdir: str = "data",
+    properties: dict | None = None,
 ) -> dict:
     """Write a cell-keyed table with snapshot manifest. `h3_col` is a
     15-hex-char H3 string column by default; ``key_is_int=True`` takes
@@ -184,6 +185,7 @@ def write_table(
         "bucket_bits": bucket_bits,
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
+        "properties": properties or {},
     }
     (root_p / "metadata" / f"v{version}.json").write_text(json.dumps(snapshot))
     tmp = root_p / "metadata" / "current.tmp"

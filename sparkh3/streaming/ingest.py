@@ -83,6 +83,47 @@ def streaming_cell_sessions(
     )
 
 
+def idempotent_append(
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    table_root: str,
+    h3_col: str,
+    **write_kwargs,
+) -> dict | None:
+    """Exactly-once micro-batch commit: the (stream_id, batch_id) pair
+    is recorded in the snapshot it commits, and a replayed batch —
+    foreachBatch re-delivers the LAST batch when the sink succeeded but
+    the checkpoint offset commit did not — is recognized and skipped.
+    Returns the committed snapshot, or None for a recognized replay.
+
+    Only the latest snapshot is consulted (replay is always the most
+    recent batch, and batches of one query are delivered in order), so
+    the check is O(1) however long the table history. Caveat: run
+    table maintenance (compaction/expiry) only while the stream is
+    stopped, since maintenance commits its own snapshot on top of the
+    batch marker."""
+    from pathlib import Path
+
+    from ..sources import manifest
+
+    if (Path(table_root) / "metadata" / "current").exists():
+        props = manifest.load_snapshot(table_root).get("properties") or {}
+        if (
+            props.get("stream_id") == stream_id
+            and props.get("batch_id") == batch_id
+        ):
+            return None
+    return manifest.write_table(
+        batch_df,
+        table_root,
+        h3_col,
+        mode="append",
+        properties={"stream_id": stream_id, "batch_id": batch_id},
+        **write_kwargs,
+    )
+
+
 def start_tile_ingest(
     stream: DataFrame,
     resolution: int,
@@ -92,16 +133,17 @@ def start_tile_ingest(
     **kwargs,
 ) -> StreamingQuery:
     """Run the streaming rollup, committing each micro-batch as a table
-    snapshot (append) through the manifest layer."""
-    from ..sources import manifest
-
+    snapshot (append, exactly-once via the batch marker) through the
+    manifest layer."""
     agg = streaming_tile_counts(stream, resolution, **kwargs)
     h3_col = f"h3_{resolution:02d}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        manifest.write_table(batch_df, table_root, h3_col, mode="append")
+        idempotent_append(
+            batch_df, batch_id, checkpoint_dir, table_root, h3_col
+        )
 
     writer = (
         agg.writeStream.outputMode("append")

@@ -337,3 +337,62 @@ class TestTransformWithState:
                 ),
                 engine="bogus",
             )
+
+
+class TestExactlyOnceSink:
+    def test_replayed_batch_commits_once(self, spark, tmp_path):
+        from sparkh3.sources import manifest
+        from sparkh3.streaming.ingest import idempotent_append
+
+        df = spark.createDataFrame(
+            [Row(h3_07="87283472bffffff", n=3)]
+        )
+        root = str(tmp_path / "tbl")
+        snap1 = idempotent_append(df, 0, "ckpt-a", root, "h3_07")
+        assert snap1 is not None and snap1["version"] == 1
+        # replay of the same (stream, batch): recognized, no new version
+        assert idempotent_append(df, 0, "ckpt-a", root, "h3_07") is None
+        assert manifest.load_snapshot(root)["version"] == 1
+        total1 = manifest.load_snapshot(root)["total_rows"]
+        # next batch commits normally on top
+        snap2 = idempotent_append(df, 1, "ckpt-a", root, "h3_07")
+        assert snap2["version"] == 2
+        assert snap2["total_rows"] == 2 * total1
+
+    def test_distinct_streams_are_independent(self, spark, tmp_path):
+        from sparkh3.streaming.ingest import idempotent_append
+
+        df = spark.createDataFrame([Row(h3_07="87283472bffffff", n=1)])
+        root = str(tmp_path / "tbl")
+        assert idempotent_append(df, 0, "ckpt-a", root, "h3_07") is not None
+        # same batch id from a DIFFERENT stream is not a replay
+        assert idempotent_append(df, 0, "ckpt-b", root, "h3_07") is not None
+
+    def test_restarted_query_appends_nothing_new(self, spark, tmp_path):
+        from sparkh3.sources import manifest
+        from sparkh3.streaming import ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            Row(ts="2024-01-01 00:00:05", lat=50.0, lng=14.0),
+            Row(ts="2024-01-01 00:05:00", lat=0.0, lng=0.0),
+        ]
+        batch = spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        batch.write.parquet(str(src / "p"))
+        stream_def = lambda: spark.readStream.schema(batch.schema).parquet(
+            str(src / "p")
+        )
+        q = ingest.start_tile_ingest(
+            stream_def(), 7, str(tmp_path / "tbl"), str(tmp_path / "ck")
+        )
+        q.awaitTermination(120)
+        v1 = manifest.load_snapshot(str(tmp_path / "tbl"))["version"]
+        # restart from the same checkpoint: no new input -> no commit
+        q2 = ingest.start_tile_ingest(
+            stream_def(), 7, str(tmp_path / "tbl"), str(tmp_path / "ck")
+        )
+        q2.awaitTermination(120)
+        assert manifest.load_snapshot(str(tmp_path / "tbl"))["version"] == v1
