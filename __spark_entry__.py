@@ -16,7 +16,7 @@ import sys
 from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -1569,6 +1569,41 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.countmin_sketch(ev, "user_id", width=256, depth=4)
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (textops.canonical_dedup_groups):
+    case/punctuation/whitespace variants collide after the canonical
+    pre-pass (lower + non-alnum squash). Every 5th doc gets an
+    uppercased, punctuated twin appended IDENTICALLY in both engines,
+    so the oracle pins each group's keeper and size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twins = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(twins)
+    return textops.canonical_dedup_groups(both)
+
+
+def q_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing via ntile(10) per event_type under the
+    deterministic (value, event_id) total order — the
+    mixture-balancing split every data pipeline uses; per-decile
+    count/min/max pin the exact bucket boundaries cross-engine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 adjacent-token collocations with PMI
     (textops.collocations): the statistic is one exact-integer ratio
@@ -1884,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "trend_fit": q_trend_fit,
         "collocations": q_collocations,
+        "canonical_dedup": q_canonical_dedup,
+        "decile_buckets": q_decile_buckets,
         "decontam": q_decontam,
         "bloom_decontam": q_bloom_decontam,
         "setsim_join": q_setsim_join,
@@ -2479,6 +2516,29 @@ def oracle_sql() -> dict[str, str]:
             "(((user_id + r * 10007) % 2147483648) * 2654435761) "
             "% 4294967296 % 256 AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
+        ),
+        "canonical_dedup": (
+            # identical canonical pre-pass (lower + non-alnum squash,
+            # global-flag regex) over the identical twin-seeded corpus
+            "WITH b AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000000, upper(text) || '!!' "
+            "FROM documents WHERE doc_id % 5 = 0), "
+            "c AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'[^a-z0-9]+', ' ', 'g')) AS canonical FROM b), "
+            "g AS (SELECT canonical, min(doc_id) AS keeper_id, "
+            "count(*) AS n_members FROM c GROUP BY 1) "
+            "SELECT keeper_id, CAST(n_members AS BIGINT) AS n_members "
+            "FROM g WHERE n_members >= 2"
+        ),
+        "decile_buckets": (
+            # ntile under the same deterministic total order; counts
+            # pin the split sizes, raw min/max pin the boundaries
+            "WITH t AS (SELECT event_type, value, "
+            "CAST(ntile(10) OVER (PARTITION BY event_type "
+            "ORDER BY value ASC, event_id ASC) AS BIGINT) AS decile "
+            "FROM events) "
+            "SELECT event_type, decile, count(*) AS n, "
+            "min(value) AS lo, max(value) AS hi FROM t GROUP BY 1, 2"
         ),
         "collocations": (
             # identical counts + the single exact-integer PMI ratio

@@ -1609,3 +1609,29 @@ class TestCollocations:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             textops.collocations(None, min_count=0)
+
+
+class TestCanonicalize:
+    def test_canonical_form(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  Hello,   WORLD!! 42 ")], ["doc_id", "text"]
+        )
+        assert (
+            textops.canonicalize(df).collect()[0].canonical
+            == "hello world 42"
+        )
+
+    def test_dedup_groups_collide_variants(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat"),
+                (2, "The CAT... sat!"),
+                (3, "THE-cat-SAT"),
+                (4, "a different doc"),
+                (5, "another different doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = textops.canonical_dedup_groups(df).collect()
+        assert len(out) == 1
+        assert out[0].keeper_id == 1 and out[0].n_members == 3
