@@ -132,6 +132,35 @@ def _scan_file_stats(root_p: Path, data_dir: Path) -> list[dict]:
     return files
 
 
+def _evolve_schema(prev_snap: dict | None, new_schema) -> dict:
+    """Union-by-name schema evolution (Iceberg add-column semantics):
+    the committed snapshot records the union of the parent's schema and
+    the incoming batch's, so readers see every column ever written —
+    files that predate a column null-fill it at read time. A TYPE
+    change for an existing column is rejected (that needs a rewrite,
+    not an append)."""
+    from pyspark.sql.types import StructType
+
+    new_fields = {f.name: f for f in new_schema.fields}
+    if not prev_snap or "schema" not in prev_snap:
+        return new_schema.jsonValue()
+    prev = StructType.fromJson(prev_snap["schema"])
+    merged = list(prev.fields)
+    seen = {f.name: f for f in prev.fields}
+    for name, f in new_fields.items():
+        if name in seen:
+            if seen[name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution: column '{name}' changes type "
+                    f"{seen[name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}; appends may only ADD "
+                    "columns"
+                )
+        else:
+            merged.append(f)
+    return StructType(merged).jsonValue()
+
+
 def write_table(
     df: DataFrame,
     root: str,
@@ -165,6 +194,11 @@ def write_table(
                 data_subdir = Path(snapcur["files"][0]["path"]).parts[0]
     data_dir = root_p / data_subdir
     out = _with_key_cols(df, h3_col, key_is_int, bucket_bits)
+    schema_json = _evolve_schema(
+        load_snapshot(root) if mode != "overwrite"
+        and (root_p / "metadata" / "current").exists() else None,
+        out.schema,
+    )
     # cluster: partition by bucket, sort within partitions by cell int
     out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
     writer = out.write.partitionBy("_h3_bucket").mode(
@@ -186,6 +220,7 @@ def write_table(
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
         "properties": properties or {},
+        "schema": schema_json,
     }
     (root_p / "metadata" / f"v{version}.json").write_text(json.dumps(snapshot))
     tmp = root_p / "metadata" / "current.tmp"
@@ -254,8 +289,23 @@ def read_table(
                 keep.append(f)
         paths = [str(root_p / f["path"]) for f in keep]
         if not paths:
-            return spark.read.parquet(str(root_p / snap["files"][0]["path"])).limit(0)
-    df = spark.read.parquet(*paths)
+            first = str(root_p / snap["files"][0]["path"])
+            if snap.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return (
+                    spark.read.schema(StructType.fromJson(snap["schema"]))
+                    .parquet(first)
+                    .limit(0)
+                )
+            return spark.read.parquet(first).limit(0)
+    if snap.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(snap["schema"]))
+        df = reader.parquet(*paths)
+    else:
+        df = spark.read.parquet(*paths)
     if key_ranges is not None:
         # exact residual filter (file pruning keeps a superset); range
         # predicates on the int64 cell push down to parquet row groups
@@ -412,6 +462,7 @@ def _commit_cow(
         "total_rows": sum(f["rows"] for f in carried + new_files),
         "rewritten_files": n_rewritten,
         "carried_files": len(carried),
+        **({"schema": snap["schema"]} if "schema" in snap else {}),
         **extra,
     }
     (root_p / "metadata" / f"v{version}.json").write_text(

@@ -594,3 +594,60 @@ class TestDeleteTable:
         snap = manifest.delete_table(spark, root, "lat > 0")
         assert snap["deleted_rows"] == n_match
         assert manifest.read_table(spark, root).filter("lat > 0").count() == 0
+
+
+class TestSchemaEvolution:
+    def test_append_adds_column_old_files_null_fill(self, spark, tmp_path):
+        from sparkh3.sources import manifest
+
+        root = str(tmp_path / "tbl")
+        v1 = spark.createDataFrame(
+            [("87283472bffffff", 1)], ["h3_07", "n"]
+        )
+        manifest.write_table(v1, root, "h3_07")
+        v2 = spark.createDataFrame(
+            [("872834730ffffff", 2, "web")], ["h3_07", "n", "source"]
+        )
+        snap = manifest.write_table(v2, root, "h3_07", mode="append")
+        assert any(f["name"] == "source" for f in snap["schema"]["fields"])
+        out = manifest.read_table(spark, root)
+        rows = {r.h3_07: (r.n, r.source) for r in out.collect()}
+        assert rows["87283472bffffff"] == (1, None)  # null-filled
+        assert rows["872834730ffffff"] == (2, "web")
+
+    def test_type_change_rejected(self, spark, tmp_path):
+        from sparkh3.sources import manifest
+
+        root = str(tmp_path / "tbl")
+        manifest.write_table(
+            spark.createDataFrame([("87283472bffffff", 1)], ["h3_07", "n"]),
+            root,
+            "h3_07",
+        )
+        bad = spark.createDataFrame(
+            [("87283472bffffff", "one")], ["h3_07", "n"]
+        )
+        with pytest.raises(ValueError, match="changes type"):
+            manifest.write_table(bad, root, "h3_07", mode="append")
+
+    def test_compaction_carries_evolved_schema(self, spark, tmp_path):
+        from sparkh3.sources import manifest
+
+        root = str(tmp_path / "tbl")
+        manifest.write_table(
+            spark.createDataFrame([("87283472bffffff", 1)], ["h3_07", "n"]),
+            root,
+            "h3_07",
+        )
+        manifest.write_table(
+            spark.createDataFrame(
+                [("872834730ffffff", 2, "web")], ["h3_07", "n", "source"]
+            ),
+            root,
+            "h3_07",
+            mode="append",
+        )
+        manifest.compact_table(spark, root)
+        out = manifest.read_table(spark, root)
+        assert "source" in out.columns
+        assert out.count() == 2
