@@ -1853,6 +1853,70 @@ def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the event stream
+    (temporal.cohort_retention): users cohorted by first-event day,
+    each cell = users active again `offset` days later. One distinct
+    on (user, day), one window min, one count — no countDistinct; the
+    offset-0 diagonal is the cohort size."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.cohort_retention(ev, width_us=86_400_000_000)
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score anomaly scan of document lengths
+    (profile.group_zscore): mean/stddev derived from exact int64
+    (n, Σx, Σx²) sufficient statistics so the standardization ladder
+    is bit-identical cross-engine; |z| > 1.5 flags outliers. The
+    stats side is broadcast — the fact table never reshuffles."""
+    from sparkh3.operators import profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return profile.group_zscore(docs, "n_chars", "lang", threshold=1.5)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 and exact-cosine embedding
+    top-10 fused with reciprocal-rank fusion (textops.rrf_fuse,
+    k0=60) — the standard no-calibration hybrid-search combiner. Both
+    retrieval stages are themselves oracled lanes; the fusion is one
+    hash aggregate + window over a few rows per query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qterms = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    bm = textops.bm25_topk(docs, qterms, k=10).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    co = similarity.cosine_topk(emb, qv, k=10).select(
+        "query_id", F.col("vec_id").alias("item_id"), "rank"
+    )
+    return textops.rrf_fuse([bm, co], k0=60, topk=10)
+
+
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the manifest layer: the CDC
+    fixture's v2 is a copy-on-write MERGE over v1, and this lane reads
+    the table AS OF version 1 (manifest.read_table(version=1)) and
+    aggregates it — proving old snapshots stay exactly readable after
+    newer commits rewrote their files. The oracle recomputes v1's
+    closed-form contents (doc_id % 3 != 0) from the raw documents."""
+    from sparkh3.sources import manifest
+
+    root = _ensure_cdc_table(spark, sf_dir)
+    v1 = manifest.read_table(spark, root, version=1)
+    return v1.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nc").alias("sum_nc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved docs -> span geo extraction -> geo_to_h3(7)
     -> parent rollup to res 5 -> densest tiles."""
@@ -1946,6 +2010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "tfidf_keywords": q_tfidf_keywords,
         "ivf_ann": q_ivf_ann,
+        "cohort_retention": q_cohort_retention,
+        "zscore_outliers": q_zscore_outliers,
+        "hybrid_rrf": q_hybrid_rrf,
+        "table_time_travel": q_table_time_travel,
         # rows-only (H3/S2 kernel values; golden-gated in tests/)
         "h3_cells_topk": q_h3_cells_topk,
         "s2_cells_topk": q_s2_cells_topk,
@@ -1980,6 +2048,43 @@ def oracle_sql() -> dict[str, str]:
     parent = f"(({synth} & {~(15 << 52)}) | {5 << 52} | {(1 << 30) - 1})"
     _bm25_values = ", ".join(
         f"({qid}, '{term}')" for qid, term in _BM25_QUERIES
+    )
+    # full BM25 top-10 statement — used verbatim by the bm25_search
+    # lane and as the lexical leg of the hybrid_rrf fusion oracle
+    bm25_body = (
+        f"WITH q(query_id, term) AS (VALUES {_bm25_values}), "
+        "tok AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), ' +')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+        "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        "dfq AS (SELECT tf.term, count(DISTINCT tf.doc_id) AS df FROM tf "
+        "WHERE tf.term IN (SELECT DISTINCT term FROM q) GROUP BY 1), "
+        "sc AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+        "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) "
+        "AS score FROM q JOIN tf ON q.term = tf.term "
+        "JOIN dfq ON q.term = dfq.term JOIN dl ON tf.doc_id = dl.doc_id "
+        "CROSS JOIN st GROUP BY 1, 2), "
+        "r AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) "
+        "AS rank FROM sc) "
+        "SELECT query_id, doc_id, rank FROM r WHERE rank <= 10"
+    )
+    # exact-cosine top-10 (query vecs 0..2, self excluded) — the
+    # embedding leg of the hybrid_rrf fusion oracle
+    cos10_body = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+        "FROM embeddings WHERE vec_id < 3), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(q.qv, e.embedding) AS sim "
+        "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+        "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id ASC) "
+        "AS rank FROM scored) "
+        "SELECT query_id, vec_id AS item_id, rank FROM ranked "
+        "WHERE rank <= 10"
     )
     return {
         "geo_grid_aggregate": (
@@ -2850,26 +2955,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN sum(hit) >= 2 THEN 1 ELSE 0 END AS BIGINT) "
             "AS flagged FROM s GROUP BY 1"
         ),
-        "bm25_search": (
-            f"WITH q(query_id, term) AS (VALUES {_bm25_values}), "
-            "tok AS (SELECT doc_id, "
-            "unnest(regexp_split_to_array(trim(text), ' +')) AS term "
-            "FROM documents), "
-            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
-            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
-            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
-            "dfq AS (SELECT tf.term, count(DISTINCT tf.doc_id) AS df FROM tf "
-            "WHERE tf.term IN (SELECT DISTINCT term FROM q) GROUP BY 1), "
-            "sc AS (SELECT q.query_id, tf.doc_id, "
-            "sum(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
-            "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) "
-            "AS score FROM q JOIN tf ON q.term = tf.term "
-            "JOIN dfq ON q.term = dfq.term JOIN dl ON tf.doc_id = dl.doc_id "
-            "CROSS JOIN st GROUP BY 1, 2), "
-            "r AS (SELECT query_id, doc_id, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) "
-            "AS rank FROM sc) "
-            "SELECT query_id, doc_id, rank FROM r WHERE rank <= 10"
+        "bm25_search": bm25_body,
+        "hybrid_rrf": (
+            f"WITH bm AS ({bm25_body}), co AS ({cos10_body}), "
+            "u AS (SELECT query_id, doc_id AS item_id, "
+            "1.0 / (60 + rank) AS c FROM bm "
+            "UNION ALL SELECT query_id, item_id, 1.0 / (60 + rank) "
+            "FROM co), "
+            "f AS (SELECT query_id, item_id, round(sum(c), 6) AS "
+            "rrf_score, count(*) AS n_lists FROM u GROUP BY 1, 2), "
+            "r AS (SELECT query_id, item_id, rrf_score, n_lists, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY rrf_score DESC, item_id ASC) AS rank FROM f) "
+            "SELECT query_id, item_id, rrf_score, "
+            "CAST(n_lists AS BIGINT) AS n_lists, rank FROM r "
+            "WHERE rank <= 10"
+        ),
+        "cohort_retention": (
+            "WITH e AS (SELECT DISTINCT user_id AS u, "
+            "epoch_us(ts) // 86400000000 AS b FROM events), "
+            "c AS (SELECT u, min(b) AS cb FROM e GROUP BY 1) "
+            "SELECT cb * 86400000000 AS cohort_us, (b - cb) AS offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM e JOIN c USING (u) GROUP BY 1, 2"
+        ),
+        "zscore_outliers": (
+            # the identical exact-int64 sufficient-statistic ladder as
+            # profile.group_zscore: every float op in the same order
+            "WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sx, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx "
+            "FROM documents GROUP BY 1), "
+            "j AS (SELECT d.doc_id, d.lang, d.n_chars, "
+            "CASE WHEN s.n > 1 AND "
+            "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0 "
+            "THEN round((CAST(d.n_chars AS DOUBLE) - CAST(sx AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) / sqrt((CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0)), 6) END AS z "
+            "FROM documents d JOIN s USING (lang)) "
+            "SELECT doc_id, lang, n_chars, z, "
+            "coalesce(abs(z) > 1.5, false) AS is_outlier FROM j"
+        ),
+        "table_time_travel": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_nc "
+            "FROM documents WHERE doc_id % 3 != 0 GROUP BY 1"
         ),
         "radius_join": (
             f"WITH pts AS ({pts}), q AS ({knn_union}), "

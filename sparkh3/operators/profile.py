@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["value_histogram", "numeric_profile", "group_trend_fit"]
+__all__ = [
+    "value_histogram",
+    "numeric_profile",
+    "group_trend_fit",
+    "group_zscore",
+]
 
 
 def value_histogram(
@@ -137,4 +142,49 @@ def group_trend_fit(
         "n",
         slope.alias("slope"),
         intercept.alias("intercept"),
+    )
+
+
+def group_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Per-group z-score standardization + outlier flag over an INTEGER
+    value column. The per-group mean and (sample) standard deviation
+    are derived from exact int64 sufficient statistics (n, Σx, Σx²) —
+    never from a float aggregate whose partition-order-dependent
+    rounding would differ between engines — so
+    ``z = (x − Σx/n) / sqrt((Σx² − Σx²/n)/(n−1))`` is the same fixed
+    chain of IEEE ops everywhere (the same shared-float-ladder contract
+    as group_trend_fit; caller keeps Σx² below 2^63).
+
+    Returns the input keys + (z rounded to 6 decimals, is_outlier =
+    |z| > threshold). Groups with fewer than 2 rows or zero variance
+    yield null z / false. Shape: one partially-combined aggregate of
+    three longs per group, broadcast back into a narrow map — the
+    anomaly scan costs one pass over the fact table however large.
+    """
+    x = F.col(value_col).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    j = df.join(F.broadcast(stats), group_col)
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    z = F.when(
+        (F.col("_n") > 1) & (var > 0),
+        F.round((x.cast("double") - sx / n) / F.sqrt(var), 6),
+    )
+    return j.select(
+        *[c for c in df.columns],
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(threshold)), F.lit(False)
+        ).alias("is_outlier"),
     )

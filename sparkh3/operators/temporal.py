@@ -25,6 +25,7 @@ __all__ = [
     "interval_join",
     "resample_ffill",
     "transition_matrix",
+    "cohort_retention",
 ]
 
 
@@ -548,4 +549,44 @@ def transition_matrix(
         F.round(
             F.col("n").cast("double") / F.sum("n").over(totals), 6
         ).alias("prob"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    width_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the time bucket
+    of their FIRST event, and each cell counts how many of a cohort's
+    users were active again `offset` buckets later. Returns
+    (cohort_us, offset, n_users) where cohort_us is the cohort
+    bucket's epoch-µs start; offset 0 row is the cohort size.
+
+    Shape: (user, bucket) pairs are distinct-ed first (one hash
+    aggregate — the activity set is tiny vs the raw event stream),
+    the per-user first bucket comes from ONE window over that already
+    deduplicated set, and the final aggregate needs no countDistinct:
+    after the distinct, every (user, cohort, offset) is unique by
+    construction, so a plain count(*) is the user count. Bucket math
+    is integer floor-division of epoch-µs — exactly reproducible in
+    any engine (timestamps are non-negative in this data model; for
+    pre-epoch data use a floored division).
+    """
+    if width_us <= 0:
+        raise ValueError(f"width_us must be positive, got {width_us}")
+    us = _epoch_us(df, ts_col)
+    active = df.select(
+        F.col(user_col).alias("_u"),
+        (us / F.lit(int(width_us))).cast("long").alias("_b"),
+    ).distinct()
+    w = Window.partitionBy("_u")
+    offs = active.withColumn("_cb", F.min("_b").over(w))
+    return (
+        offs.groupBy(
+            (F.col("_cb") * F.lit(int(width_us))).alias("cohort_us"),
+            (F.col("_b") - F.col("_cb")).alias("offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
     )

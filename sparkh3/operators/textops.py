@@ -1417,3 +1417,63 @@ def canonical_dedup_groups(
         .filter(F.col("n_members") >= 2)
         .select("keeper_id", "n_members")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query ranked lists (hybrid
+    retrieval: lexical BM25 + embedding top-k fused without score
+    calibration — Cormack/Clarke/Buettcher's RRF). Each input frame is
+    (query_id, item_id, rank); the fused score is
+    ``Σ_lists 1/(k0 + rank)`` over the lists that ranked the item, and
+    the output is the fused top-`topk` per query as (query_id, item_id,
+    rrf_score rounded to 6 decimals, n_lists, rank) with a
+    deterministic (score desc, item_id asc) tie-break.
+
+    Shape: the inputs are already top-k-per-query — a few rows per
+    query however large the corpus — so the union + one hash aggregate
+    on (query, item) + one window over the fused candidate set cost
+    nothing next to the retrieval stages that produced them. With two
+    lists the fused sum is a single IEEE addition (commutative), so
+    the score is engine-portable without an ordering contract.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(item_col).alias("_i"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+            ).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("_q", "_i").agg(
+        F.round(F.sum("_c"), 6).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("rrf_score").desc(), F.col("_i").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_i").alias(item_col),
+            "rrf_score",
+            "n_lists",
+            "rank",
+        )
+    )

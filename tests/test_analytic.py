@@ -128,3 +128,45 @@ class TestTrendFit:
         )
         row = group_trend_fit(df, "g", "x", "y").collect()[0]
         assert row.slope is None and row.intercept is None
+
+
+class TestGroupZscore:
+    def test_known_values(self, spark):
+        from sparkh3.operators.profile import group_zscore
+
+        # group g: values 10, 20, 30 -> mean 20, sample std 10
+        df = spark.createDataFrame(
+            [(1, "g", 10), (2, "g", 20), (3, "g", 30), (4, "h", 7)],
+            "id long, grp string, v long",
+        )
+        out = {r.id: (r.z, r.is_outlier)
+               for r in group_zscore(df, "v", "grp", threshold=0.5).collect()}
+        assert out[1] == (-1.0, True)
+        assert out[2] == (0.0, False)
+        assert out[3] == (1.0, True)
+        # singleton group: null z, never an outlier
+        assert out[4] == (None, False)
+
+    def test_zero_variance_group(self, spark):
+        from sparkh3.operators.profile import group_zscore
+
+        df = spark.createDataFrame(
+            [(1, "g", 5), (2, "g", 5)], "id long, grp string, v long"
+        )
+        out = group_zscore(df, "v", "grp").collect()
+        assert all(r.z is None and r.is_outlier is False for r in out)
+
+    def test_matches_numpy(self, spark):
+        from sparkh3.operators.profile import group_zscore
+
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 1000, size=200).tolist()
+        df = spark.createDataFrame(
+            [(i, "g", int(v)) for i, v in enumerate(vals)],
+            "id long, grp string, v long",
+        )
+        out = {r.id: r.z for r in group_zscore(df, "v", "grp").collect()}
+        arr = np.array(vals, dtype=np.float64)
+        exp = (arr - arr.mean()) / arr.std(ddof=1)
+        for i, e in enumerate(exp):
+            assert abs(out[i] - round(e, 6)) < 2e-6

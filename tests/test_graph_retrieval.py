@@ -12,6 +12,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
 from sparkh3.operators import joins, textops
 from sparkh3.operators.graph import connected_components
 
@@ -396,3 +397,42 @@ class TestTriangleCount:
             [(0, i) for i in range(1, 10)], ["src", "dst"]
         )
         assert triangle_count(df).count() == 0
+
+
+class TestRRFFuse:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, item_id long, rank long"
+        )
+
+    def test_fusion_math_and_order(self, spark):
+        # q0: list A ranks items 1,2,3; list B ranks 2,3,4.
+        a = self._mk(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+        b = self._mk(spark, [(0, 2, 1), (0, 3, 2), (0, 4, 3)])
+        out = textops.rrf_fuse([a, b], k0=60, topk=10).collect()
+        got = {r.item_id: (r.rrf_score, r.n_lists, r.rank) for r in out}
+        # item 2: 1/62 + 1/61 is the highest fused mass
+        assert got[2][1] == 2 and got[2][2] == 1
+        assert got[2][0] == round(1 / 62 + 1 / 61, 6)
+        assert got[3][1] == 2 and got[3][2] == 2
+        # singles: item 1 (1/61) beats item 4 (1/63)
+        assert got[1][2] == 3 and got[4][2] == 4
+        assert got[1][0] == round(1 / 61, 6)
+
+    def test_tiebreak_by_item_id(self, spark):
+        # identical fused score -> lower item_id wins
+        a = self._mk(spark, [(0, 9, 1), (0, 4, 2)])
+        b = self._mk(spark, [(0, 4, 1), (0, 9, 2)])
+        out = {r.item_id: r.rank
+               for r in textops.rrf_fuse([a, b]).collect()}
+        assert out == {4: 1, 9: 2}
+
+    def test_topk_and_multi_query(self, spark):
+        a = self._mk(spark, [(q, i, i) for q in (0, 1) for i in range(1, 6)])
+        out = textops.rrf_fuse([a], topk=2)
+        assert out.count() == 4
+        assert out.filter(F.col("rank") > 2).count() == 0
+
+    def test_empty_input_list_raises(self, spark):
+        with pytest.raises(ValueError):
+            textops.rrf_fuse([])

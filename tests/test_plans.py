@@ -409,3 +409,48 @@ def test_resample_ffill_grid_native_single_window(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Window") >= 1, plan
     assert "partial_min" in plan or "partial_finalmerge" in plan, plan
+
+
+def test_cohort_retention_no_countdistinct_expand(spark):
+    """Cohort retention stays native: the final aggregate is a plain
+    count over the pre-distincted activity set — no Expand node from a
+    countDistinct — and every aggregate partially combines."""
+    from datetime import datetime
+
+    from sparkh3.operators.temporal import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(i % 5, datetime(2024, 1, 1 + i % 3)) for i in range(20)],
+        "user_id long, ts timestamp",
+    )
+    plan = _plan(cohort_retention(ev, width_us=86_400_000_000))
+    assert "PythonUDF" not in plan and "Expand" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_group_zscore_broadcasts_stats(spark):
+    """The z-score stats side joins back as a broadcast — the fact
+    table is standardized in a narrow map, never reshuffled on the
+    group key after its one aggregate pass."""
+    from sparkh3.operators.profile import group_zscore
+
+    df = spark.createDataFrame(
+        [(i, "g", i * 3) for i in range(50)], "id long, grp string, v long"
+    )
+    plan = _plan(group_zscore(df, "v", "grp"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_rrf_fuse_native_single_window(spark):
+    """RRF fusion is pure native column algebra: union, one partial-
+    combined aggregate, one window — no UDF, no join."""
+    from sparkh3.operators.textops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(5)],
+        "query_id long, item_id long, rank long",
+    )
+    plan = _plan(rrf_fuse([a, a]))
+    assert "PythonUDF" not in plan and "Join" not in plan, plan
+    assert "partial_count" in plan, plan

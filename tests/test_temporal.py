@@ -555,3 +555,48 @@ class TestTransitionMatrix:
             [(1, datetime(2024, 1, 1), "a", 1)], ["u", "ts", "state", "eid"]
         )
         assert transition_matrix(df, "u", "ts", "state", "eid").count() == 0
+
+
+class TestCohortRetention:
+    def test_small_matrix(self, spark):
+        # users: A first day 0 (active d0, d2), B first day 0 (d0 only,
+        # two events same day -> one activity row), C first day 1 (d1, d3)
+        day = 86_400_000_000
+        rows = [
+            ("A", _ts(0)), ("A", _ts(2 * 1440)),
+            ("B", _ts(5)), ("B", _ts(30)),
+            ("C", _ts(1440)), ("C", _ts(3 * 1440)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = {
+            (r.cohort_us, r.offset): r.n_users
+            for r in temporal.cohort_retention(ev, width_us=day).collect()
+        }
+        d0 = 1704067200000000  # 2024-01-01 epoch-us
+        assert out == {
+            (d0, 0): 2,          # A + B cohort size
+            (d0, 2): 1,          # A back on day 2
+            (d0 + day, 0): 1,    # C cohort
+            (d0 + day, 2): 1,    # C back on day 3 (offset 2)
+        }
+
+    def test_offset_zero_is_cohort_size(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = temporal.cohort_retention(ev, width_us=86_400_000_000)
+        sizes = out.filter(F.col("offset") == 0).agg(
+            F.sum("n_users")
+        ).collect()[0][0]
+        n_users = ev.select("user_id").distinct().count()
+        assert sizes == n_users
+        # no cell may exceed its cohort's size
+        c = {r.cohort_us: r.n_users
+             for r in out.filter(F.col("offset") == 0).collect()}
+        for r in out.collect():
+            assert r.n_users <= c[r.cohort_us]
+
+    def test_bad_width(self, spark):
+        ev = spark.createDataFrame(
+            [("A", _ts(0))], "user_id string, ts timestamp"
+        )
+        with pytest.raises(ValueError):
+            temporal.cohort_retention(ev, width_us=0)
