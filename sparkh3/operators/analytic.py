@@ -81,7 +81,10 @@ def skyline(
 ) -> DataFrame:
     """Rows of ``df`` not dominated under the given criteria (at least
     one of minimize/maximize required; other columns ride along).
-    Exact; duplicates of a frontier point are all kept."""
+    Exact; duplicates of a frontier point are all kept. A NULL
+    criterion value is incomparable (it becomes NaN, every comparison
+    false): the row is never dominated and never dominates — exactly
+    the SQL ``NOT EXISTS`` oracle's three-valued-logic behavior."""
     crit = list(minimize) + list(maximize)
     if not crit:
         raise ValueError("skyline needs at least one criterion column")
@@ -101,5 +104,9 @@ def skyline(
         yield pdf.iloc[_frontier_indices(vals)]
 
     local = df.mapInPandas(prune, schema=schema)
-    # finalize: one pass over the (small) union of local frontiers
-    return local.coalesce(1).mapInPandas(prune, schema=schema)
+    # finalize: one pass over the (small) union of local frontiers.
+    # repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    # that would collapse stage 1 into the single finalize task,
+    # serializing the per-partition scans; the shuffle barrier keeps
+    # stage 1 parallel and moves only the local frontiers
+    return local.repartition(1).mapInPandas(prune, schema=schema)

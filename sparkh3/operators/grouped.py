@@ -73,11 +73,21 @@ def grouping_aggregate(
         F.grouping_id(*[F.col(k) for k in keys]).alias("gid"), *aggs
     )
     agg_names = [c for c in out.columns if c not in keys and c != "gid"]
+    # label from the gid BIT, not from nullness: a genuine NULL data
+    # value at a fine grain must stay NULL, not masquerade as the
+    # subtotal label
+    n = len(keys)
+    labeled = [
+        F.when(
+            F.shiftright(F.col("gid"), n - 1 - i).bitwiseAND(F.lit(1)) == 1,
+            F.lit(all_label),
+        )
+        .otherwise(F.col(k).cast("string"))
+        .alias(k)
+        for i, k in enumerate(keys)
+    ]
     return out.select(
-        *[
-            F.coalesce(F.col(k).cast("string"), F.lit(all_label)).alias(k)
-            for k in keys
-        ],
+        *labeled,
         F.col("gid").cast("long").alias("gid"),
         *agg_names,
     )

@@ -22,6 +22,8 @@ __all__ = [
     "asof_join",
     "sessionize",
     "time_rollup",
+    "hopping_rollup",
+    "funnel",
     "interval_join",
     "resample_ffill",
     "transition_matrix",

@@ -1228,6 +1228,14 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a string id would cast to null inside the arithmetic and the
+        # "sample" would silently degrade to first-k-by-id
+        raise TypeError(
+            f"weighted_sample: id_col {id_col!r} must be an integer "
+            f"column (got {id_type}); hash string ids to int64 first"
+        )
     w = F.col(weight_col).cast("double")
     if df.filter(w.isNull() | (w <= 0)).limit(1).count():
         raise ValueError(

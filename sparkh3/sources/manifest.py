@@ -182,34 +182,37 @@ def write_table(
     reading (a snapshot commit must never overwrite its own input)."""
     root_p = Path(root)
     (root_p / "metadata").mkdir(parents=True, exist_ok=True)
-    if mode != "overwrite" and data_subdir == "data":
-        # append must land in (and restat) the CURRENT generation —
-        # after a compaction the live data may be in data_v<N>, and
-        # appending into a stale default dir would commit a snapshot
-        # missing every compacted row
-        cur = root_p / "metadata" / "current"
-        if cur.exists():
-            snapcur = load_snapshot(root)
-            if snapcur["files"]:
-                data_subdir = Path(snapcur["files"][0]["path"]).parts[0]
-    data_dir = root_p / data_subdir
-    out = _with_key_cols(df, h3_col, key_is_int, bucket_bits)
-    schema_json = _evolve_schema(
-        load_snapshot(root) if mode != "overwrite"
-        and (root_p / "metadata" / "current").exists() else None,
-        out.schema,
-    )
-    # cluster: partition by bucket, sort within partitions by cell int
-    out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
-    writer = out.write.partitionBy("_h3_bucket").mode(
-        "overwrite" if mode == "overwrite" else "append"
-    )
-    writer.parquet(str(data_dir))
-
-    files = _scan_file_stats(root_p, data_dir)
     cur_file = root_p / "metadata" / "current"
+    is_append = mode != "overwrite" and cur_file.exists()
+    prev_snap = load_snapshot(root) if is_append else None
     prev = int(cur_file.read_text()) if cur_file.exists() else 0
     version = prev + 1
+    if is_append and data_subdir == "data":
+        # each append lands in its OWN generation directory, written
+        # with overwrite semantics: the snapshot adopts exactly what
+        # this call wrote (old files carry by reference, no re-stat),
+        # and a crash between the parquet write and the `current`
+        # advance leaves an UNREFERENCED dir that the replayed batch
+        # simply overwrites — orphaned rows can never be adopted into
+        # a later commit (exactly-once for foreachBatch sinks)
+        data_subdir = f"data_a{version}"
+    data_dir = root_p / data_subdir
+    out = _with_key_cols(df, h3_col, key_is_int, bucket_bits)
+    schema_json = _evolve_schema(prev_snap, out.schema)
+    # cluster: partition by bucket, sort within partitions by cell int
+    out = out.repartition("_h3_bucket").sortWithinPartitions("_h3_int")
+    out.write.partitionBy("_h3_bucket").mode("overwrite").parquet(
+        str(data_dir)
+    )
+
+    files = _scan_file_stats(root_p, data_dir)
+    if is_append:
+        files = prev_snap["files"] + files
+        if int(cur_file.read_text()) != prev:
+            raise RuntimeError(
+                "concurrent commit detected: `current` moved while the "
+                "append was writing — retry against the new snapshot"
+            )
     snapshot = {
         "version": version,
         "parent": prev or None,
@@ -348,6 +351,35 @@ def _bucket_of_path(path: str) -> int | None:
     return None
 
 
+def _read_entries(
+    spark: SparkSession, root_p: Path, snap: dict, entries: list[dict]
+) -> DataFrame:
+    """Read a subset of a snapshot's file entries WITH the snapshot's
+    recorded (evolved) schema, so files written before a column was
+    added null-fill it — the same discipline as read_table. Reading a
+    raw file subset instead would resolve whatever schema the sampled
+    footers happen to carry, silently dropping (or crashing on)
+    evolved columns inside merge/delete/CDC rewrites. Empty subset ->
+    an empty frame with the full schema."""
+    schema = None
+    if snap.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(snap["schema"])
+    if not entries:
+        anchor = str(root_p / snap["files"][0]["path"])
+        r = (
+            spark.read.schema(schema).parquet(anchor)
+            if schema is not None
+            else spark.read.parquet(anchor)
+        )
+        return r.limit(0)
+    paths = [str(root_p / f["path"]) for f in entries]
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def merge_table(
     spark: SparkSession,
     root: str,
@@ -356,10 +388,14 @@ def merge_table(
 ) -> dict:
     """Iceberg-style copy-on-write MERGE (upsert): rows in `updates`
     REPLACE current rows with the same ``merge_key``; new keys insert.
-    Only data files in buckets the updates touch are rewritten — every
+    Only data files that actually CONTAIN a matching merge key are
+    rewritten (found with one column-pruned key scan collecting
+    distinct ``input_file_name`` — the same find-touched-files join a
+    Delta/Iceberg MERGE plans, so a key whose update moves it to a
+    different cell/bucket still has its OLD row rewritten away); every
     other file carries over into the new snapshot BY REFERENCE (its
-    path is reused, no data moves), which is what bounds merge cost by
-    the update footprint instead of the table size at 100 TB.
+    path is reused, no data moves), which is what bounds merge rewrite
+    cost by the matched footprint instead of the table size at 100 TB.
 
     The rewrite lands in a new generation directory (``data_m<N>``) so
     readers of the old snapshot are never disturbed (time travel via
@@ -376,7 +412,7 @@ def merge_table(
     h3_col = snap["h3_col"]
     if not snap["files"]:
         raise ValueError("merge_table requires a non-empty table")
-    sample = spark.read.parquet(str(root_p / snap["files"][0]["path"]))
+    sample = _read_entries(spark, root_p, snap, snap["files"][:1])
     data_cols = [
         c for c in sample.columns if c not in ("_h3_int", "_h3_bucket")
     ]
@@ -400,17 +436,33 @@ def merge_table(
     )
     if up.isEmpty():
         return snap
-    # affected buckets: bounded by 2^bucket_bits, a metadata-sized set
-    touched = {
-        r["_h3_bucket"] for r in up.select("_h3_bucket").distinct().collect()
-    }
-    affected = [f for f in snap["files"] if _bucket_of_path(f["path"]) in touched]
-    carried = [f for f in snap["files"] if _bucket_of_path(f["path"]) not in touched]
+    # find-touched-files: one column-pruned scan of the merge-key
+    # column, semi-joined with the update keys, collecting only the
+    # distinct file names that contain a match (file-count-bounded).
+    # Scanning by key — not by the updates' target buckets — is what
+    # keeps the replace contract when an update MOVES a key to a new
+    # cell: the old row's file is still rewritten without it.
+    up_keys = up.select(merge_key).distinct()
+    hit = (
+        _read_entries(spark, root_p, snap, snap["files"])
+        # capture the file name AT SCAN TIME: input_file_name() is only
+        # defined in the scan's stage and reads empty after an exchange
+        .select(merge_key, F.input_file_name().alias("_f"))
+        .join(F.broadcast(up_keys), merge_key, "semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    hit_rel = set()
+    for r in hit:
+        p = r["_f"]
+        p = p[len("file:"):] if p.startswith("file:") else p
+        hit_rel.add(str(Path(p).resolve().relative_to(root_p.resolve())))
+    affected = [f for f in snap["files"] if f["path"] in hit_rel]
+    carried = [f for f in snap["files"] if f["path"] not in hit_rel]
     pieces = up.select(*data_cols)
     if affected:
-        old = spark.read.parquet(
-            *[str(root_p / f["path"]) for f in affected]
-        )
+        old = _read_entries(spark, root_p, snap, affected)
         keep_old = old.join(
             up.select(merge_key).distinct(), merge_key, "anti"
         ).select(*data_cols)
@@ -496,9 +548,8 @@ def delete_table(
     if not snap["files"]:
         raise ValueError("delete_table requires a non-empty table")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    all_paths = [str(root_p / f["path"]) for f in snap["files"]]
     hit = (
-        spark.read.parquet(*all_paths)
+        _read_entries(spark, root_p, snap, snap["files"])
         .filter(pred)
         .groupBy(F.input_file_name().alias("_f"))
         .count()
@@ -515,9 +566,7 @@ def delete_table(
         return snap  # no matching rows: the snapshot is unchanged
     affected = [f for f in snap["files"] if f["path"] in hit_rel]
     carried = [f for f in snap["files"] if f["path"] not in hit_rel]
-    data_cols_df = spark.read.parquet(
-        *[str(root_p / f["path"]) for f in affected]
-    )
+    data_cols_df = _read_entries(spark, root_p, snap, affected)
     data_cols = [
         c for c in data_cols_df.columns if c not in ("_h3_int", "_h3_bucket")
     ]
@@ -564,13 +613,19 @@ def table_changes(
     all_entries = sf["files"] + st["files"]
     if not all_entries:
         raise ValueError("both snapshots are empty — nothing to diff")
+    # both sides read with the NEWER snapshot's schema (schemas are
+    # append-only unions, so it contains the older one): rows written
+    # before a column existed null-fill it, and a diff across a
+    # schema-evolution boundary compares aligned structs instead of
+    # crashing on an unresolved column
+    wide = st if st["version"] >= sf["version"] else sf
+    anchor = {"files": all_entries, "schema": wide.get("schema")}
+    by_path = {f["path"]: f for f in all_entries}
 
     def _read(paths: list[str]) -> DataFrame:
-        if not paths:
-            return spark.read.parquet(
-                str(root_p / all_entries[0]["path"])
-            ).limit(0)
-        return spark.read.parquet(*[str(root_p / p) for p in paths])
+        return _read_entries(
+            spark, root_p, anchor, [by_path[p] for p in paths]
+        )
 
     new_side = _read(added)
     old_side = _read(removed)
@@ -622,7 +677,16 @@ def rollup_delta(
             F.col("_change_type").isin("delete", "update_preimage"),
             F.lit(-1),
         )
-        .otherwise(F.lit(None))  # unknown change kinds must not silently drop
+        # unknown change kinds fail the job (F.sum would silently SKIP
+        # a null sign, under-counting the delta with no error)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("rollup_delta: unknown _change_type "),
+                    F.col("_change_type"),
+                )
+            ).cast("int")
+        )
     )
     aggs = [F.sum(sign).alias("d_n")] + [
         F.sum(sign * F.col(c)).alias(f"d_sum_{c}") for c in sum_cols

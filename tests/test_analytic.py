@@ -170,3 +170,18 @@ class TestGroupZscore:
         exp = (arr - arr.mean()) / arr.std(ddof=1)
         for i, e in enumerate(exp):
             assert abs(out[i] - round(e, 6)) < 2e-6
+
+
+class TestSkylineNulls:
+    def test_null_criterion_incomparable(self, spark):
+        """A NULL criterion value is incomparable (SQL NOT EXISTS
+        three-valued logic): the row is kept and never dominates."""
+        from sparkh3.operators.analytic import skyline
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, None, 0.5), (3, 2.0, 2.0)],
+            "id long, a double, b double",
+        )
+        ids = {r.id for r in skyline(df, minimize=["a", "b"]).collect()}
+        # row 3 dominated by row 1; row 2 incomparable (null a) -> kept
+        assert ids == {1, 2}

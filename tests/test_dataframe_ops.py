@@ -324,3 +324,24 @@ class TestGroupingAggregate:
         df = spark.createDataFrame([("a", 1)], "g string, v int")
         with pytest.raises(ValueError, match="cube"):
             grouping_aggregate(df, ["g"], [F.sum("v").alias("s")], kind="no")
+
+
+def test_grouping_aggregate_null_key_stays_null(spark):
+    """A genuine NULL data value at the finest grain must stay NULL —
+    only gid-flagged subtotal rows carry the all_label."""
+    from pyspark.sql import functions as F
+
+    from sparkh3.operators.grouped import grouping_aggregate
+
+    df = spark.createDataFrame(
+        [(None, 1), ("x", 2)], "g string, v long"
+    )
+    out = {
+        (r.g, r.gid): r.s
+        for r in grouping_aggregate(
+            df, ["g"], [F.sum("v").alias("s")], kind="cube"
+        ).collect()
+    }
+    assert out[(None, 0)] == 1      # real-null group, NOT relabeled
+    assert out[("x", 0)] == 2
+    assert out[("ALL", 1)] == 3     # the one subtotal row

@@ -454,3 +454,20 @@ def test_rrf_fuse_native_single_window(spark):
     plan = _plan(rrf_fuse([a, a]))
     assert "PythonUDF" not in plan and "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_skyline_finalize_behind_shuffle(spark):
+    """The skyline finalize pass sits behind a shuffle barrier
+    (repartition), NOT a coalesce — a narrow coalesce(1) would pull
+    every stage-1 local prune into the single finalize task and
+    serialize the whole scan."""
+    from sparkh3.operators.analytic import skyline
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(-(i % 5))) for i in range(50)],
+        "id long, a double, b double",
+    )
+    plan = _plan(skyline(df, minimize=["a"], maximize=["b"]))
+    assert "Coalesce" not in plan, plan
+    assert "Exchange" in plan, plan
+    assert plan.count("MapInPandas") == 2, plan

@@ -651,3 +651,150 @@ class TestSchemaEvolution:
         out = manifest.read_table(spark, root)
         assert "source" in out.columns
         assert out.count() == 2
+
+
+class TestCowRegressions:
+    """Regression gates for the copy-on-write layer: key moves across
+    buckets, schema evolution through merge/delete/CDC rewrites, and
+    crash-replay orphan files."""
+
+    def test_merge_key_move_leaves_no_stale_row(self, spark, h3_docs, tmp_path):
+        """An update that MOVES a key to a different cell/bucket must
+        rewrite the old row away — the replace contract holds wherever
+        the old row lives, not only in the buckets the update targets."""
+        root = str(tmp_path / "mvkey")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        by_bucket = {}
+        for f in snap1["files"]:
+            bkt = manifest._bucket_of_path(f["path"])
+            if bkt not in by_bucket:
+                by_bucket[bkt] = (
+                    spark.read.parquet(str(Path(root) / f["path"]))
+                    .select("doc_id", "lat", "lng", "h3_07")
+                    .first()
+                )
+        assert len(by_bucket) >= 2, "fixture must span multiple buckets"
+        (a, b) = list(by_bucket.values())[:2]
+        # move a's key into b's cell (a different bucket)
+        upd = spark.createDataFrame(
+            [(a.doc_id, b.lat, b.lng, b.h3_07)],
+            "doc_id string, lat double, lng double, h3_07 string",
+        )
+        snap2 = manifest.merge_table(spark, root, upd, merge_key="doc_id")
+        cur = manifest.read_table(spark, root)
+        got = cur.filter(F.col("doc_id") == a.doc_id).collect()
+        assert len(got) == 1, f"stale duplicate after key move: {got}"
+        assert got[0].h3_07 == b.h3_07
+        assert snap2["total_rows"] == snap1["total_rows"]
+
+    def test_merge_preserves_evolved_column(self, spark, tmp_path):
+        """merge_table must read affected files with the snapshot's
+        evolved schema: rows rewritten from pre-evolution files keep a
+        null-filled evolved column instead of crashing or dropping it."""
+        root = str(tmp_path / "mevo")
+        manifest.write_table(
+            spark.createDataFrame(
+                [("87283472bffffff", 1), ("87283472cffffff", 2)],
+                ["h3_07", "n"],
+            ),
+            root,
+            "h3_07",
+        )
+        manifest.write_table(
+            spark.createDataFrame(
+                [("872834730ffffff", 3, "web")], ["h3_07", "n", "source"]
+            ),
+            root,
+            "h3_07",
+            mode="append",
+        )
+        upd = spark.createDataFrame(
+            [("87283472bffffff", 10, "api")], ["h3_07", "n", "source"]
+        )
+        manifest.merge_table(spark, root, upd, merge_key="h3_07")
+        got = {
+            r.h3_07: (r.n, r.source)
+            for r in manifest.read_table(spark, root).collect()
+        }
+        assert got["87283472bffffff"] == (10, "api")
+        # the keep_old rewrite of a pre-evolution row keeps source=null
+        assert got["87283472cffffff"] == (2, None)
+        assert got["872834730ffffff"] == (3, "web")
+
+    def test_delete_preserves_evolved_column(self, spark, tmp_path):
+        root = str(tmp_path / "devo")
+        manifest.write_table(
+            spark.createDataFrame(
+                [("87283472bffffff", 1), ("87283472cffffff", 2)],
+                ["h3_07", "n"],
+            ),
+            root,
+            "h3_07",
+        )
+        manifest.write_table(
+            spark.createDataFrame(
+                [("872834730ffffff", 3, "web")], ["h3_07", "n", "source"]
+            ),
+            root,
+            "h3_07",
+            mode="append",
+        )
+        manifest.delete_table(spark, root, "n = 1")
+        got = {
+            r.h3_07: (r.n, r.source)
+            for r in manifest.read_table(spark, root).collect()
+        }
+        assert got == {
+            "87283472cffffff": (2, None),
+            "872834730ffffff": (3, "web"),
+        }
+
+    def test_changes_across_schema_evolution(self, spark, tmp_path):
+        """CDC between snapshots on either side of a column addition
+        aligns both sides on the union schema (old rows null-fill)."""
+        root = str(tmp_path / "cevo")
+        manifest.write_table(
+            spark.createDataFrame([("87283472bffffff", 1)], ["h3_07", "n"]),
+            root,
+            "h3_07",
+        )
+        manifest.write_table(
+            spark.createDataFrame(
+                [("872834730ffffff", 2, "web")], ["h3_07", "n", "source"]
+            ),
+            root,
+            "h3_07",
+            mode="append",
+        )
+        ch = manifest.table_changes(spark, root, 1, 2, "h3_07").collect()
+        assert len(ch) == 1
+        assert ch[0]._change_type == "insert"
+        assert ch[0].h3_07 == "872834730ffffff" and ch[0].source == "web"
+
+    def test_append_replay_ignores_orphan_files(self, spark, h3_docs, tmp_path):
+        """A crashed append (parquet written, snapshot not committed)
+        must not leak rows into the next commit: appends adopt exactly
+        the files they wrote, never rglob strays."""
+        import shutil
+
+        root = str(tmp_path / "orph")
+        snap1 = manifest.write_table(h3_docs, root, "h3_07")
+        root_p = Path(root)
+        # simulate the crash: copy a committed data file as a stray
+        # into BOTH the live generation and the next append's target
+        src = root_p / snap1["files"][0]["path"]
+        for gen in ("data", "data_a2"):
+            dst = root_p / gen / "_h3_bucket=999" / "stray.parquet"
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy(src, dst)
+        extra = h3_docs.limit(3)
+        snap2 = manifest.write_table(extra, root, "h3_07", mode="append")
+        assert snap2["total_rows"] == snap1["total_rows"] + 3
+        assert manifest.read_table(spark, root).count() == snap2["total_rows"]
+
+    def test_rollup_delta_unknown_kind_raises(self, spark):
+        ch = spark.createDataFrame(
+            [("g", 1, "bogus_kind")], "g string, v long, _change_type string"
+        )
+        with pytest.raises(Exception, match="unknown _change_type"):
+            manifest.rollup_delta(ch, ["g"], ["v"]).collect()

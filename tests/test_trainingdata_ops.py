@@ -1105,6 +1105,12 @@ class TestWeightedSample:
             textops.weighted_sample(df, k=1, weight_col="w")
         with pytest.raises(ValueError, match="k must be positive"):
             textops.weighted_sample(df, k=0, weight_col="w")
+        # a string id would cast to null and silently ignore weights
+        sdf = spark.createDataFrame(
+            [("a", 1.0)], "doc_id string, w double"
+        )
+        with pytest.raises(TypeError, match="integer"):
+            textops.weighted_sample(sdf, k=1, weight_col="w")
 
 
 class TestTokenEntropy:
