@@ -156,6 +156,34 @@ def main() -> None:
     print("== bloom probe: word table broadcast, JVM-native bit tests ==")
     print("  BroadcastHashJoin:", "BroadcastHashJoin" in pbp)
     print("  Python nodes:", "PythonUDF" in pbp or "ArrowEval" in pbp)
+
+    from sparkh3.operators import temporal
+    from sparkh3.operators.analytic import skyline
+    from sparkh3.operators.profile import group_zscore
+
+    cr = temporal.cohort_retention(ev, width_us=86_400_000_000)
+    crp = cr._jdf.queryExecution().executedPlan().toString()
+    print("== cohort retention: plain count over the distinct set ==")
+    print("  Expand (countDistinct fan-out):", "Expand" in crp)
+    print("  Python nodes:", "PythonUDF" in crp)
+
+    zs = group_zscore(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", "lang"
+    )
+    zsp = zs._jdf.queryExecution().executedPlan().toString()
+    print("== group z-score: stats broadcast back, fact never reshuffles ==")
+    print("  BroadcastHashJoin:", "BroadcastHashJoin" in zsp)
+
+    sk = skyline(
+        li.select("l_orderkey", "l_quantity", "l_extendedprice"),
+        minimize=["l_quantity"],
+        maximize=["l_extendedprice"],
+    )
+    skp = sk._jdf.queryExecution().executedPlan().toString()
+    print("== skyline: parallel stage-1 prune behind a shuffle barrier ==")
+    print("  Coalesce (would serialize stage 1):", "Coalesce" in skp)
+    print("  Exchange + 2 MapInPandas:",
+          "Exchange" in skp and skp.count("MapInPandas") == 2)
     spark.stop()
 
 
