@@ -82,24 +82,26 @@ def h3_center_child_int(v: Column, res: int) -> Column:
     """Center child at `res` (current res taken from the value) — native.
 
     Clears digits between the current res and `res`, then sets res bits.
+    Built from Column ops only (no SQL-text round trip through
+    ``Column._jc.toString()`` + ``F.expr``, which mis-renders names
+    needing backticks and has no Spark Connect analog); the
+    variable-width fill mask — Spark's ``shiftleft`` only takes a
+    literal shift — comes from a 16-entry array literal indexed by the
+    value's own resolution bits.
     """
-    # clear bits currently filled with 7s: 3*(15-cur_res) low bits
-    inv_clear = F.expr(
-        "~(shiftleft(1L, cast(3 * (15 - (shiftrightunsigned("
-        f"{_sql(v)}, 52) & 15)) as int)) - 1)"
+    cur_res = F.shiftrightunsigned(v, 52).bitwiseAND(F.lit(15)).cast("int")
+    # fill mask for every possible current res: (1 << 3*(15-r)) - 1
+    fills = F.array(
+        *[F.lit((1 << (3 * (15 - r))) - 1).cast("long") for r in range(16)]
     )
+    cur_fill = F.element_at(fills, cur_res + F.lit(1))
     keep_fill = F.lit((1 << (3 * (15 - res))) - 1)
     return (
-        v.bitwiseAND(inv_clear)
+        v.bitwiseAND(F.bitwise_not(cur_fill))
         .bitwiseAND(F.lit(~(15 << 52)))
         .bitwiseOR(F.lit(res << 52))
         .bitwiseOR(keep_fill)
     )
-
-
-def _sql(c: Column) -> str:
-    """Render a Column back to SQL text (for expr composition)."""
-    return c._jc.toString()  # noqa: SLF001
 
 
 def h3_center_child(col: Column | str, res: int) -> Column:
@@ -431,6 +433,8 @@ def linetrace_udf(res: int):
 def compact_udf():
     @F.pandas_udf(ArrayType(StringType()))
     def f(cells: pd.Series) -> pd.Series:
+        import numpy as np
+
         from .kernel import index as ix
 
         out = []
@@ -439,6 +443,9 @@ def compact_udf():
                 out.append([])
                 continue
             arr = ix.str_to_int(list(raw))
+            # same ValueError contract as every other string-cell UDF:
+            # an invalid address must not silently compact as cell 0
+            _validate_cells(arr, np.zeros(len(arr), dtype=bool), "compact")
             out.append(list(ix.int_to_str(ix.compact_cells(arr))))
         return pd.Series(out)
 
@@ -448,6 +455,8 @@ def compact_udf():
 def uncompact_udf(res: int):
     @F.pandas_udf(ArrayType(StringType()))
     def f(cells: pd.Series) -> pd.Series:
+        import numpy as np
+
         from .kernel import index as ix
 
         out = []
@@ -456,6 +465,9 @@ def uncompact_udf(res: int):
                 out.append([])
                 continue
             arr = ix.str_to_int(list(raw))
+            _validate_cells(
+                arr, np.zeros(len(arr), dtype=bool), "uncompact"
+            )
             out.append(list(ix.int_to_str(ix.uncompact_cells(arr, res))))
         return pd.Series(out)
 

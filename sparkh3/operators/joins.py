@@ -193,9 +193,12 @@ def pip_join(
         )
     )
     # materialize the cover once: broadcast construction over a plan that
-    # still contains the Python UDF re-evaluates it (measured ~5x cost)
-    poly_cells = poly_cells.persist()
-    poly_cells.count()
+    # still contains the Python UDF re-evaluates it (measured ~5x cost).
+    # localCheckpoint, not persist: a persisted Dataset lives in the
+    # CacheManager until explicitly unpersisted (which the caller can't
+    # do — the result still references it), i.e. one leaked cache entry
+    # per call; checkpoint blocks are GC-cleaned once unreferenced
+    poly_cells = poly_cells.localCheckpoint(eager=True)
     cand = pts.join(poly_cells, "_cell", "inner")
     # interior-cell candidates are matches by construction (the whole
     # cover cell is proven inside) — they go straight to the output and
@@ -312,6 +315,55 @@ def knn_join(
     )
 
 
+def _query_disks(
+    spark,
+    qrows,
+    query_id: str,
+    q_lat: str,
+    q_lng: str,
+    resolution: int,
+    n_rings: int,
+) -> DataFrame:
+    """Ring-labeled broadcast disks (_qid, _qlat, _qlng, _cell0) for a
+    collected query side — the shared scaffold of the kNN broadcast
+    path and radius_join. Rejects null/NaN coordinates up front: a NaN
+    would encode to a garbage cell and the join would silently return
+    arbitrary rows instead of failing."""
+    import numpy as np
+
+    from ..kernel import geo as kgeo
+    from ..kernel import index as ixk
+    from ..kernel import traversal as tv
+
+    bad = [
+        r[query_id]
+        for r in qrows
+        if r[q_lat] is None
+        or r[q_lng] is None
+        or r[q_lat] != r[q_lat]
+        or r[q_lng] != r[q_lng]
+    ]
+    if bad:
+        raise ValueError(
+            f"null/NaN query coordinates (ids {bad[:5]}...) — they would "
+            "encode to garbage cells and return arbitrary neighbors"
+        )
+    qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
+    qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
+    qcells = kgeo.latlng_to_cell(qla, qlo, resolution)
+    disk_rows = []
+    for r in range(n_rings + 1):
+        o, c = tv.grid_ring_grouped(qcells, r)
+        strs = ixk.int_to_str(c)
+        for oi, cs in zip(o.tolist(), strs.tolist()):
+            disk_rows.append(
+                (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
+            )
+    return spark.createDataFrame(
+        disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"]
+    )
+
+
 def _knn_broadcast(
     queries: DataFrame,
     points: DataFrame,
@@ -329,28 +381,11 @@ def _knn_broadcast(
     """Fused small-query-side kNN: broadcast ring-labeled query disks,
     one equi-join + one window; exact-by-certificate, iterative fallback
     for queries the `max_ring` disk cannot certify."""
-    import numpy as np
-
-    from ..kernel import geo as kgeo
-    from ..kernel import index as ixk
-    from ..kernel import traversal as tv
-
     if qrows is None:
         qrows = queries.select(query_id, q_lat, q_lng).collect()
-    qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
-    qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
-    qcells = kgeo.latlng_to_cell(qla, qlo, resolution)
-    disk_rows = []
-    for r in range(max_ring + 1):
-        o, c = tv.grid_ring_grouped(qcells, r)
-        strs = ixk.int_to_str(c)
-        for oi, cs in zip(o.tolist(), strs.tolist()):
-            disk_rows.append(
-                (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
-            )
-    spark = points.sparkSession
-    qdf = spark.createDataFrame(
-        disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"]
+    qdf = _query_disks(
+        points.sparkSession, qrows, query_id, q_lat, q_lng,
+        resolution, max_ring,
     )
     cell = H3F.latlng_to_cell_udf(resolution)
     pts = points.select(
@@ -403,8 +438,9 @@ def _knn_broadcast(
         )
     )
     if n_safe == len(qrows):
-        out = done.persist()
-        out.count()
+        # localCheckpoint (not persist): materializes the result in this
+        # one action AND is GC-cleaned when the caller drops it
+        out = done.localCheckpoint(eager=True)
         topk.unpersist()
         return out
     stragglers = queries.filter(
@@ -441,8 +477,7 @@ def _knn_broadcast(
             stragglers, points, k, resolution,
             query_id, point_id, q_lat, q_lng, p_lat, p_lng,
         )
-    out = done.unionByName(rest).persist()
-    out.count()
+    out = done.unionByName(rest).localCheckpoint(eager=True)
     topk.unpersist()
     return out
 
@@ -472,10 +507,10 @@ def _knn_iterative(
         F.col(q_lat).alias("_qlat"),
         F.col(q_lng).alias("_qlng"),
     ).withColumn("_qcell0", cell(F.col("_qlat"), F.col("_qlng")))
-    q_all = q_all.persist()
-    pts = pts.persist()
-    q_all.count()
-    pts.count()
+    # localCheckpoint (GC-cleaned), not persist (leaks a CacheManager
+    # entry per call): both sides are re-scanned every ring round
+    q_all = q_all.localCheckpoint(eager=True)
+    pts = pts.localCheckpoint(eager=True)
 
     def topk_of(cand: DataFrame) -> DataFrame:
         cand = cand.withColumn(
@@ -509,8 +544,9 @@ def _knn_iterative(
         if res_cur <= 0:
             # brute force the stragglers (few by construction)
             cand = remaining.crossJoin(pts)
-            part = topk_of(cand).drop("_cell0", "_qcell0").persist()
-            part.count()
+            part = topk_of(cand).drop("_cell0", "_qcell0").localCheckpoint(
+                eager=True
+            )
             done_parts.append(part)
             break
         w_min = min_cell_width_km(res_cur)
@@ -541,16 +577,15 @@ def _knn_iterative(
                     & (F.col("_kth") <= F.lit(max(r - 1, 1) * w_min))
                 )
                 .select("_qid")
-                .persist()
+                .localCheckpoint(eager=True)
             )
             n_safe = safe.count()
             if n_safe:
                 done = (
                     topk.join(F.broadcast(safe), "_qid", "semi")
                     .drop("_cell", "_cell0", "_qcell", "_qcell0")
-                    .persist()
+                    .localCheckpoint(eager=True)
                 )
-                done.count()
                 done_parts.append(done)
                 remaining = remaining.join(F.broadcast(safe), "_qid", "anti")
                 rem = rem.join(F.broadcast(safe), "_qid", "anti")
@@ -603,12 +638,7 @@ def radius_join(
     side is declared-small (<= max_queries, enforced by a bounded
     limit-collect, same guardrail discipline as pip_join).
     """
-    import numpy as np
-
     from .. import functions as H3F
-    from ..kernel import geo as kgeo
-    from ..kernel import index as ixk
-    from ..kernel import traversal as tv
 
     if radius_km <= 0:
         raise ValueError(f"radius_km must be positive, got {radius_km}")
@@ -622,7 +652,12 @@ def radius_join(
     if k_rings > max_ring:
         raise ValueError(
             f"radius {radius_km} km needs {k_rings} rings at res "
-            f"{resolution} (max {max_ring}); use a coarser resolution"
+            f"{resolution} (max {max_ring}); "
+            + (
+                "raise max_ring (the disk cannot get coarser than res 0)"
+                if resolution == 0
+                else "use a coarser resolution or raise max_ring"
+            )
         )
     qrows = (
         queries.select(query_id, q_lat, q_lng).limit(max_queries + 1).collect()
@@ -632,19 +667,17 @@ def radius_join(
             f"radius_join broadcasts the query side; got > {max_queries} "
             "rows — pre-aggregate or raise max_queries explicitly"
         )
-    qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
-    qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
-    qcells = kgeo.latlng_to_cell(qla, qlo, resolution)
-    disk_rows = []
-    for r in range(k_rings + 1):
-        o, c = tv.grid_ring_grouped(qcells, r)
-        strs = ixk.int_to_str(c)
-        for oi, cs in zip(o.tolist(), strs.tolist()):
-            disk_rows.append(
-                (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
-            )
-    spark = points.sparkSession
-    qdf = spark.createDataFrame(disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"])
+    if not qrows:
+        return (
+            queries.select(F.col(query_id)).limit(0)
+            .crossJoin(points.select(F.col(point_id)).limit(0))
+            .withColumn("dist_km", F.lit(0.0))
+            .select(query_id, point_id, "dist_km")
+        )
+    qdf = _query_disks(
+        points.sparkSession, qrows, query_id, q_lat, q_lng,
+        resolution, k_rings,
+    )
     cell = H3F.latlng_to_cell_udf(resolution)
     pts = points.select(
         F.col(point_id).alias("_pid"),

@@ -39,7 +39,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # clamp the norm product exactly like the NumPy paths
+    # (max(norm, 1e-12)): a zero-norm embedding must score 0.0, not
+    # raise DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) or
+    # silently null the pair under non-ANSI; for any real vector the
+    # product exceeds the clamp and the division is bit-identical
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
 
 def cosine_topk(
@@ -367,6 +372,15 @@ def ivf_cosine_topk(
             raise ValueError(
                 "ivf_cosine_topk needs either a corpus DataFrame or "
                 "table_root (a corpus written by ivf_write_corpus)"
+            )
+        # the query side is broadcast into the probed lists below, so
+        # the max_queries bound must hold on THIS path too (one bounded
+        # count, same guardrail as the table_root path / radius_join)
+        if q.limit(max_queries + 1).count() > max_queries:
+            raise ValueError(
+                "ivf_cosine_topk broadcasts the query side; got > "
+                f"{max_queries} rows — pre-aggregate or raise "
+                "max_queries explicitly"
             )
         if centroids is None:
             centroids = ivf_train_centroids(corpus, n_lists, id_col, vec_col)

@@ -194,3 +194,36 @@ class TestCompact:
         assert len(rows[0].cells) == 49
         back = dfo.h3_compact(up, "cells").collect()
         assert back[0].cells == ["811f3ffffffffff"]
+
+
+def test_compact_udf_invalid_address_raises(spark):
+    """compact/uncompact enforce the same ValueError contract as every
+    other string-cell UDF (reference util/decorator.py parity) instead
+    of silently coercing bad addresses to cell 0."""
+    from pyspark.sql import functions as F
+
+    from sparkh3 import functions as H3F
+
+    df = spark.createDataFrame([(["not-a-cell"],)], "cells array<string>")
+    with pytest.raises(Exception, match="invalid H3"):
+        df.select(H3F.compact_udf()(F.col("cells"))).collect()
+    with pytest.raises(Exception, match="invalid H3"):
+        df.select(H3F.uncompact_udf(9)(F.col("cells"))).collect()
+
+
+def test_center_child_backtick_column_name(spark):
+    """h3_center_child is built from Column ops only — a column name
+    needing backticks must not break (no SQL-text round trip)."""
+    from pyspark.sql import functions as F
+
+    from sparkh3 import functions as H3F
+    from sparkh3.kernel import index as ix
+
+    df = spark.createDataFrame([("87283472bffffff",)], ["my-cell"])
+    got = df.select(
+        H3F.h3_center_child(F.col("my-cell"), 10).alias("c")
+    ).collect()[0].c
+    exp = ix.int_to_str(
+        ix.cell_to_center_child(ix.str_to_int(["87283472bffffff"]), 10)
+    )[0]
+    assert got == exp

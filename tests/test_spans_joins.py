@@ -257,3 +257,42 @@ class TestKnnJoin:
                     q.query_id,
                     i,
                 )
+
+
+class TestJoinGuardrails:
+    """Regression gates: degenerate query sides must fail loudly (null
+    coords) or return typed-empty (zero queries), never silently return
+    arbitrary rows."""
+
+    def _pts(self, spark):
+        return spark.createDataFrame(
+            [(i, 40.0 + i * 0.001, -74.0) for i in range(5)],
+            "point_id long, lat double, lng double",
+        )
+
+    def test_radius_join_empty_queries(self, spark):
+        qe = spark.createDataFrame([], "query_id long, lat double, lng double")
+        out = joins.radius_join(qe, self._pts(spark), 5.0)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "point_id", "dist_km"]
+
+    def test_radius_join_null_coords_raise(self, spark):
+        qn = spark.createDataFrame(
+            [(0, None, -74.0)], "query_id long, lat double, lng double"
+        )
+        with pytest.raises(ValueError, match="null/NaN"):
+            joins.radius_join(qn, self._pts(spark), 5.0)
+
+    def test_knn_join_null_coords_raise(self, spark):
+        qn = spark.createDataFrame(
+            [(0, 40.0, None)], "query_id long, lat double, lng double"
+        )
+        with pytest.raises(ValueError, match="null/NaN"):
+            joins.knn_join(qn, self._pts(spark), 1, 7)
+
+    def test_radius_join_res0_error_mentions_max_ring(self, spark):
+        q = spark.createDataFrame(
+            [(0, 0.0, 0.0)], "query_id long, lat double, lng double"
+        )
+        with pytest.raises(ValueError, match="raise max_ring"):
+            joins.radius_join(q, self._pts(spark), 20000.0)

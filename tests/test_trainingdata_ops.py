@@ -1641,3 +1641,36 @@ class TestCanonicalize:
         out = textops.canonical_dedup_groups(df).collect()
         assert len(out) == 1
         assert out[0].keeper_id == 1 and out[0].n_members == 3
+
+
+class TestSimilarityGuardrails:
+    def test_zero_norm_embedding_scores_zero(self, spark):
+        """A zero-norm embedding must score 0.0 (clamped norm product),
+        not raise DIVIDE_BY_ZERO under ANSI mode."""
+        emb = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: r.sim
+            for r in similarity.cosine_topk(emb, q, 2).collect()
+        }
+        assert got[0] == 0.0  # zero-norm pair scored, not crashed
+        assert got[2] > 0.99
+
+    def test_ivf_dataframe_path_enforces_max_queries(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [1.0 + i, 0.5 * i]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        big_q = spark.range(50).select(
+            F.col("id").alias("query_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="max_queries"):
+            similarity.ivf_cosine_topk(
+                emb, big_q, 1, n_lists=2, max_queries=10
+            )
