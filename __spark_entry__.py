@@ -2614,12 +2614,16 @@ def oracle_sql() -> dict[str, str]:
             "round(ln(n) - cl / n, 6) AS token_entropy FROM e"
         ),
         "cms_counts": (
-            # every counter of the 4x256 sketch pinned: same Knuth
-            # bucket arithmetic as the Spark build
-            "WITH d AS (SELECT r FROM range(4) t(r)), "
+            # every counter of the 4x256 sketch pinned: the same
+            # 2-universal ((a_r*x + b_r) mod 2^31-1) mod W family as the
+            # Spark build (sketch._row_consts), a_r/b_r derived in-query
+            "WITH d AS (SELECT r, "
+            "((2*r + 1) * 2654435761) % 2147483647 AS a, "
+            "((2*r + 2) * 2654435761) % 2147483647 AS b0 "
+            "FROM range(4) t(r)), "
             "b AS (SELECT r, "
-            "(((user_id + r * 10007) % 2147483648) * 2654435761) "
-            "% 4294967296 % 256 AS bucket FROM events, d) "
+            "(user_id % 2147483648 * a + b0) % 2147483647 % 256 "
+            "AS bucket FROM events, d) "
             "SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2"
         ),
         "canonical_dedup": (
@@ -2746,11 +2750,22 @@ def oracle_sql() -> dict[str, str]:
             # bit-smearing + bit_count (no floating log2), 2^-rho terms
             # exact in binary64 so the SUM is order-independent, same
             # alpha/linear-counting ladder as sketch.hll_estimate
-            "WITH h AS (SELECT event_type, "
-            "((user_id % 2147483648) * 2654435761) % 2147483648 AS h "
+            # same 31-bit murmur-fmix avalanche as sketch._fmix31
+            # (multiply mod 2^31 + xor-shift rounds, exact int64);
+            # register index from the HIGH 8 bits, payload from the
+            # low 23
+            "WITH h0 AS (SELECT event_type, "
+            "(user_id % 2147483648 * 2654435761) % 2147483648 AS h "
             "FROM events WHERE user_id IS NOT NULL), "
-            "b AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w "
-            "FROM h), "
+            "h1 AS (SELECT event_type, xor(h, h >> 16) AS h FROM h0), "
+            "h2 AS (SELECT event_type, (h * 2246822507) % 2147483648 "
+            "AS h FROM h1), "
+            "h3 AS (SELECT event_type, xor(h, h >> 13) AS h FROM h2), "
+            "h4 AS (SELECT event_type, (h * 3266489909) % 2147483648 "
+            "AS h FROM h3), "
+            "h AS (SELECT event_type, xor(h, h >> 16) AS h FROM h4), "
+            "b AS (SELECT event_type, h // 8388608 AS bucket, "
+            "h % 8388608 AS w FROM h), "
             "s1 AS (SELECT event_type, bucket, w | (w >> 1) AS w FROM b), "
             "s2 AS (SELECT event_type, bucket, w | (w >> 2) AS w FROM s1), "
             "s3 AS (SELECT event_type, bucket, w | (w >> 4) AS w FROM s2), "
@@ -2934,16 +2949,19 @@ def oracle_sql() -> dict[str, str]:
             "j -> CAST(ascii(gram[j:j]) AS BIGINT))), "
             "(acc, c) -> (acc*31 + c) % 2147483648) AS h FROM g), "
             "ph AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 = 0), "
-            "pb AS (SELECT ((h + r*10007) % 2147483648 * 2654435761) "
-            "% 4294967296 % 32768 AS bit FROM ph, "
-            "(SELECT unnest(range(0, 3)) AS r) rs), "
+            # k=3 probes from the same 2-universal family as the Spark
+            # build (sketch._row_consts): ((a_r*h + b_r) mod 2^31-1) mod m
+            "rs AS (SELECT r, ((2*r + 1) * 2654435761) % 2147483647 AS a, "
+            "((2*r + 2) * 2654435761) % 2147483647 AS b0 "
+            "FROM range(3) t(r)), "
+            "pb AS (SELECT (h % 2147483648 * a + b0) % 2147483647 "
+            "% 32768 AS bit FROM ph, rs), "
             "words AS (SELECT bit // 32 AS word, "
             "bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS mask "
             "FROM pb GROUP BY 1), "
             "th AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 <> 0), "
-            "tp AS (SELECT h, ((h + r*10007) % 2147483648 * 2654435761) "
-            "% 4294967296 % 32768 AS bit FROM th, "
-            "(SELECT unnest(range(0, 3)) AS r) rs), "
+            "tp AS (SELECT h, (h % 2147483648 * a + b0) % 2147483647 "
+            "% 32768 AS bit FROM th, rs), "
             "v AS (SELECT tp.h, min(CASE WHEN words.mask IS NULL THEN 0 "
             "ELSE (words.mask >> CAST(tp.bit % 32 AS INT)) & 1 END) AS hit "
             "FROM tp LEFT JOIN words ON tp.bit // 32 = words.word "

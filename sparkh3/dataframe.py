@@ -179,17 +179,22 @@ def h3_to_parent(
     key = h3_col or _h3_key(df)
     v = H3F.h3_str_to_int(key)
     if resolution is None:
-        # direct parent: res-1, per-row — variable fill via expr
-        cur = H3F.h3_resolution_int(v)
+        # direct parent: res-1, per-row. The variable-width fill —
+        # Spark's shiftleft only takes a literal shift — comes from a
+        # 16-entry array literal indexed by the value's own res bits
+        # (Column ops only: no SQL-text interpolation of the column
+        # name, which breaks on names needing backticks / Connect)
+        cur = H3F.h3_resolution_int(v).cast("int")
+        fills = F.array(
+            *[
+                F.lit((1 << (3 * (16 - r))) - 1).cast("long")
+                for r in range(16)
+            ]
+        )
         parent = (
             v.bitwiseAND(F.lit(~(15 << 52)))
             .bitwiseOR(F.shiftleft((cur - 1).cast("long"), 52))
-            .bitwiseOR(
-                F.expr(
-                    "shiftleft(1L, cast(3 * (15 - (shiftrightunsigned("
-                    f"cast(conv({key}, 16, 10) as bigint), 52) & 15) + 1) as int)) - 1"
-                )
-            )
+            .bitwiseOR(F.element_at(fills, cur + F.lit(1)))
         )
         return df.withColumn("h3_parent", H3F.h3_int_to_str(parent))
     col = _format_resolution(resolution)
@@ -203,16 +208,26 @@ def h3_to_center_child(
     key = h3_col or _h3_key(df)
     v = H3F.h3_str_to_int(key)
     if resolution is None:
-        cur = H3F.h3_resolution_int(v)
+        # same array-literal lookup as h3_to_parent (no SQL-text round
+        # trip). Mask per current res r: ~(7 << 3*(14-r)); the r=15
+        # entry reproduces Java's masked negative shift (7 << 61) for
+        # exact parity, though a res-15 cell has no child
+        cur = H3F.h3_resolution_int(v).cast("int")
+
+        def _mask(r: int) -> int:
+            n = 3 * (14 - r)
+            if n >= 0:
+                return ~(7 << n)
+            m = (7 << (n & 63)) & ((1 << 64) - 1)
+            return ~(m - (1 << 64) if m >= (1 << 63) else m)
+
+        masks = F.array(
+            *[F.lit(_mask(r)).cast("long") for r in range(16)]
+        )
         child = (
             v.bitwiseAND(F.lit(~(15 << 52)))
             .bitwiseOR(F.shiftleft((cur + 1).cast("long"), 52))
-            .bitwiseAND(
-                F.expr(
-                    "~shiftleft(7L, cast(3 * (14 - (shiftrightunsigned("
-                    f"cast(conv({key}, 16, 10) as bigint), 52) & 15)) as int))"
-                )
-            )
+            .bitwiseAND(F.element_at(masks, cur + F.lit(1)))
         )
         return df.withColumn("h3_center_child", H3F.h3_int_to_str(child))
     return df.withColumn(

@@ -33,15 +33,34 @@ __all__ = [
     "bloom_merge",
 ]
 
-# per-row seed stride: any odd constant; rows r=0..d-1 hash with seed
-# r*_ROW_SEED so the d hash functions are pairwise independent-ish
-_ROW_SEED = 10007
+# 2-universal hash family h_{a,b}(x) = ((a*x + b) mod p) mod W with p
+# the Mersenne prime 2^31 - 1 (Carter & Wegman, JCSS 1979): per-row
+# (a_r, b_r) make the d rows genuinely pairwise independent. An affine
+# per-row SHIFT of one multiplicative mod-2^k hash (the previous
+# scheme) is NOT: for any width-stride key set (k2 - k1 a multiple of
+# W, W a power of two dividing 2^32) the keys collided in EVERY row,
+# voiding the min-of-d guarantee entirely. The prime modulus breaks
+# that power-of-two residue chain; everything stays pure int64
+# arithmetic (folded < 2^31, a < 2^31, product < 2^62 — no overflow in
+# any engine).
+_MERSENNE = (1 << 31) - 1
+
+
+def _row_consts(r: int) -> tuple[int, int]:
+    """Deterministic per-row (a_r, b_r) in [1, p-1] x [0, p-1] — a
+    fixed Knuth-mix scheme the SQL oracles reproduce verbatim. a_r is
+    provably nonzero: p is prime and neither factor divides it."""
+    a = ((2 * r + 1) * _KNUTH) % _MERSENNE
+    b = ((2 * r + 2) * _KNUTH) % _MERSENNE
+    return a, b
 
 
 def _bucket(key, r: int, width: int):
-    folded = F.pmod(key + F.lit(r * _ROW_SEED), F.lit(1 << 31))
+    a, b = _row_consts(r)
+    folded = F.pmod(key, F.lit(1 << 31))
     return F.pmod(
-        F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32)), F.lit(width)
+        F.pmod(folded * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
+        F.lit(width),
     )
 
 
@@ -255,6 +274,21 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 _HLL_P_MIN, _HLL_P_MAX = 4, 16
 
+# murmur3-fmix multipliers, folded to the 31-bit lane
+_FMIX_C1, _FMIX_C2 = 0x85EBCA6B, 0xC2B2AE35
+
+
+def _fmix31(key: Column) -> Column:
+    """31-bit xor-multiply avalanche (murmur3-fmix shape): multiply
+    mod 2^31 / xor-shift rounds — all exact int64 ops, reproducible in
+    any SQL engine (h < 2^31, multipliers < 2^32, products < 2^63)."""
+    h = F.pmod(key * F.lit(_KNUTH), F.lit(1 << 31))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = F.pmod(h * F.lit(_FMIX_C1), F.lit(1 << 31))
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = F.pmod(h * F.lit(_FMIX_C2), F.lit(1 << 31))
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
 
 def _hll_check(p: int) -> None:
     if not (_HLL_P_MIN <= p <= _HLL_P_MAX):
@@ -274,12 +308,20 @@ def hll_registers(
     m = 1 << p
     payload_bits = 31 - p
     key = F.pmod(F.col(value_col).cast("long"), F.lit(1 << 31))
-    h = F.pmod(key * F.lit(_KNUTH), F.lit(1 << 31))
+    # murmur-style xor-multiply avalanche on the 31-bit lane (_fmix31):
+    # HLL's rho statistic needs every bit iid-uniform, which no affine
+    # hash delivers — a multiplicative hash leaves low-bit structure
+    # (stride-2^p inputs keep p zero low bits forever, collapsing
+    # registers or skewing every rho), and arithmetic-progression ids
+    # stay an AP under any (a*x+b) mod p map. Three multiply+xor-shift
+    # rounds break both; every op is exact int64 arithmetic DuckDB
+    # reproduces (the oracle pins the registers AND the estimate).
+    h = _fmix31(key)
     d = (
         df.filter(F.col(value_col).isNotNull())
         .select(F.col(group_col), h.alias("_h"))
-        .withColumn("bucket", F.pmod(F.col("_h"), F.lit(m)))
-        .withColumn("_w", F.expr(f"_h div {m}"))
+        .withColumn("bucket", F.expr(f"_h div {1 << payload_bits}"))
+        .withColumn("_w", F.pmod(F.col("_h"), F.lit(1 << payload_bits)))
     )
     # integer bit-length via smearing + bit_count (no floating log2):
     # after OR-ing in all right-shifts, popcount == bit length exactly

@@ -104,7 +104,10 @@ def asof_join(
         if right_tiebreak is not None
         else F.lit(0)
     )
-    rhs = right.select(
+    # a null right timestamp never matches (DuckDB/kdb ASOF semantics);
+    # unfiltered it would sort nulls-first and carry as a bogus "prior"
+    # row for every left row with no genuine match
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_src"),
@@ -224,7 +227,12 @@ def time_rollup(
     100 TB shape: one shuffle on (bucket, key) at the finest grain
     (map-side partial combine); each coarser level is a shuffle over
     the previous AGGREGATE (buckets x keys rows, not events). This is
-    the chained-H3-parent-rollup trick on the time axis."""
+    the chained-H3-parent-rollup trick on the time axis.
+
+    Data-model contract (shared with cohort_retention and the hopping
+    rollup): timestamps are non-negative epoch-µs. ``%`` truncates
+    toward zero, so a pre-1970 event would land in a right-closed,
+    mislabeled bucket — floor the division upstream for such data."""
     if not grains_us:
         raise ValueError("grains_us must name at least one grain")
     items = sorted(grains_us.items(), key=lambda kv: kv[1])
@@ -424,6 +432,19 @@ def interval_join(
     if overlap:
         raise ValueError(
             f"overlapping column names {sorted(overlap)} — rename one side"
+        )
+    # the grid construction reserves these working names on each side —
+    # a pre-existing one would be silently overwritten by withColumn and
+    # returned corrupted (same policy as asof_join's reserved names)
+    clash = [
+        c
+        for c in ("_b", "_ev_us")
+        if c in events.columns or c in intervals.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with interval_join's reserved "
+            "working columns ('_b', '_ev_us') — rename them first"
         )
     for c in (start_us, end_us):
         if c not in intervals.columns:

@@ -360,6 +360,13 @@ def minhash_lsh_dedup(
     construction, so the text re-join for exact Jaccard broadcasts the
     pair list into the documents scan (AQE picks BroadcastHashJoin).
     """
+    if not 1 <= bands <= n_hashes or n_hashes % bands != 0:
+        # bands > n_hashes degenerates every bucket to hash(band) — an
+        # O(n^2) cross product of the corpus per band; a non-divisor
+        # silently drops trailing signature hashes from banding
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
     rows_per_band = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes)
     df = _spread(df)
@@ -491,8 +498,20 @@ def simhash_dedup(
     bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming,
-    candidate-joined on 4 hash bands (each band exact-matches for any
-    pair within Hamming distance 3 of a 32-bit hash)."""
+    candidate-joined on ``max_hamming + 1`` hash bands: pigeonhole — a
+    pair differing in <= max_hamming bits MUST share at least one band
+    untouched, so candidate recall is exact for ANY threshold (bands
+    split the hash into near-equal widths when max_hamming + 1 does
+    not divide ``bits``). The exact bit_count filter then makes the
+    output exact."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be in [0, bits={bits})"
+        )
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(bits, n_bands)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
     sh_udf = simhash_udf(bits=bits)
     df = _spread(df)
     base = df.select(
@@ -501,17 +520,21 @@ def simhash_dedup(
             F.transform(ngrams(F.col(text_col), 2), lambda s: F.xxhash64(s))
         ).alias("_sh"),
     )
-    band_w = bits // 4
     banded = base.withColumn(
-        "_band", F.explode(F.array(*[F.lit(i) for i in range(4)]))
-    ).withColumn(
         "_key",
-        F.concat_ws(
-            ":",
-            F.col("_band"),
-            F.expr(f"shiftrightunsigned(_sh, _band * {band_w})").bitwiseAND(
-                F.lit((1 << band_w) - 1)
-            ),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftrightunsigned(F.col("_sh"), starts[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
         ),
     )
     a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"), "_key")
@@ -619,6 +642,21 @@ def det_hash01(key: Column, seed: int = 0) -> Column:
     )
 
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_int_id(df: DataFrame, id_col: str, op: str) -> None:
+    """det_hash01 does integer arithmetic on the id; a string id casts
+    to null and every decision silently degrades (empty sample, last
+    split for all rows, first-cap-by-id order) instead of failing."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in _INT_TYPES:
+        raise TypeError(
+            f"{op}: id_col {id_col!r} must be an integer column "
+            f"(got {t}); hash string ids to int64 first"
+        )
+
+
 def hash_sample(
     df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:
@@ -627,6 +665,7 @@ def hash_sample(
     state, pushes down as a plain filter)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    _require_int_id(df, id_col, "hash_sample")
     return df.filter(det_hash01(F.col(id_col), seed) < F.lit(fraction))
 
 
@@ -642,6 +681,7 @@ def quota_sample(
     applies. One window per group partition; no global sort."""
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
+    _require_int_id(df, id_col, "quota_sample")
     w = Window.partitionBy(group_col).orderBy(
         det_hash01(F.col(id_col), seed).asc(), F.col(id_col).asc()
     )
@@ -722,6 +762,7 @@ def stratified_split(
     sort, pushes down with the scan. ``id_col`` must be integer-valued
     (cast/extract upstream for string ids)."""
     bounds = split_bounds(weights)  # validates; shared with SQL twins
+    _require_int_id(df, id_col, "stratified_split")
     u = det_hash01(F.col(id_col), seed)
     expr = F.lit(list(weights)[-1])  # last split takes the ladder top
     for name, bound in reversed(bounds):
@@ -833,6 +874,7 @@ def mixture_sample(
         raise ValueError(f"targets must be positive, got {targets}")
     if abs(sum(targets.values()) - 1.0) > 1e-9:
         raise ValueError(f"targets must sum to 1, got {sum(targets.values())}")
+    _require_int_id(df, id_col, "mixture_sample")
     tmap = F.create_map(
         *[F.lit(x) for kv in targets.items() for x in kv]
     )
@@ -1228,14 +1270,7 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    id_type = df.schema[id_col].dataType.simpleString()
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        # a string id would cast to null inside the arithmetic and the
-        # "sample" would silently degrade to first-k-by-id
-        raise TypeError(
-            f"weighted_sample: id_col {id_col!r} must be an integer "
-            f"column (got {id_type}); hash string ids to int64 first"
-        )
+    _require_int_id(df, id_col, "weighted_sample")
     w = F.col(weight_col).cast("double")
     if df.filter(w.isNull() | (w <= 0)).limit(1).count():
         raise ValueError(
@@ -1365,9 +1400,13 @@ def collocations(
     n_bi = pairs.agg(F.count("*").alias("_nb"))
     ycnt = ucnt.select(F.col("_x").alias("_y"), F.col("_nx").alias("_ny"))
     scored = (
+        # no broadcast hint on the unigram tables: they are
+        # |vocab|-sized (unbounded at web scale — forcing them to the
+        # driver is an OOM); AQE broadcasts them when they fit and
+        # shuffles otherwise. The two 1-row totals stay hinted.
         bcnt.filter(F.col("n_xy") >= min_count)
-        .join(F.broadcast(ucnt), "_x")
-        .join(F.broadcast(ycnt), "_y")
+        .join(ucnt, "_x")
+        .join(ycnt, "_y")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .select(

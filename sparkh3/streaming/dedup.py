@@ -221,15 +221,21 @@ def streaming_bloom_dedup(
         ids: list[str] = []
         hashes: list[int] = []
         flags: list[bool] = []
+        # same 2-universal ((a_r*x + b_r) mod 2^31-1) mod m probe family
+        # as sketch._bucket (probes stay independent per r)
+        mp = (1 << 31) - 1
+        consts = [
+            (((2 * r + 1) * 2654435761) % mp, ((2 * r + 2) * 2654435761) % mp)
+            for r in range(k)
+        ]
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             for h, did in zip(pdf["text_hash"], pdf["doc_id"]):
                 h = int(h)
                 present = True
                 bits = []
-                for r in range(k):
-                    folded = (h + r * 10007) % (1 << 31)
-                    bit = (folded * 2654435761) % (1 << 32) % shard_bits
+                for a, b in consts:
+                    bit = ((h % (1 << 31)) * a + b) % mp % shard_bits
                     bits.append(bit)
                     if not (buf[bit >> 3] >> (bit & 7)) & 1:
                         present = False

@@ -600,3 +600,30 @@ class TestCohortRetention:
         )
         with pytest.raises(ValueError):
             temporal.cohort_retention(ev, width_us=0)
+
+
+class TestTemporalGuardrails:
+    def test_asof_null_right_ts_never_matches(self, spark):
+        """A null right timestamp must not carry as a 'prior' match
+        (DuckDB ASOF semantics)."""
+        left = spark.createDataFrame(
+            [("k", _ts(10))], "k string, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [("k", None, 111.0), ("k", _ts(20), 222.0)],
+            "k string, ts timestamp, v double",
+        )
+        out = temporal.asof_join(left, right, "k", how="inner").collect()
+        assert out == []  # only a null-ts and a LATER row exist
+        out2 = temporal.asof_join(left, right, "k", how="left").collect()
+        assert len(out2) == 1 and out2[0].v is None
+
+    def test_interval_join_reserved_columns_rejected(self, spark):
+        ev = spark.createDataFrame(
+            [(1, _ts(0), 5)], "event_id long, ts timestamp, _b long"
+        )
+        iv = spark.createDataFrame(
+            [(1, 0, 10**9)], "iv_id long, s long, e long"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            temporal.interval_join(ev, iv, "ts", "s", "e")

@@ -1341,12 +1341,15 @@ class TestBloom:
     M, K = 1024, 3
 
     def _py_bloom(self, keys):
-        """Pure-Python reference of bloom_build's packed word table."""
+        """Pure-Python reference of bloom_build's packed word table
+        (the 2-universal ((a_r*x + b_r) mod 2^31-1) mod m family)."""
+        p = (1 << 31) - 1
         words = {}
         for key in keys:
             for r in range(self.K):
-                folded = (key + r * 10007) % (1 << 31)
-                bit = (folded * 2654435761) % (1 << 32) % self.M
+                a = ((2 * r + 1) * 2654435761) % p
+                b = ((2 * r + 2) * 2654435761) % p
+                bit = ((key % (1 << 31)) * a + b) % p % self.M
                 w = bit // 32
                 words[w] = words.get(w, 0) | (1 << (bit % 32))
         return sorted(words.items())
@@ -1510,13 +1513,22 @@ class TestHyperLogLog:
         df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
         return sketch.hll_registers(df, "g", "v", p=p)
 
+    @staticmethod
+    def _fmix31(x):
+        h = (x % (1 << 31)) * 2654435761 % (1 << 31)
+        h ^= h >> 16
+        h = h * 0x85EBCA6B % (1 << 31)
+        h ^= h >> 13
+        h = h * 0xC2B2AE35 % (1 << 31)
+        return h ^ (h >> 16)
+
     def _py_regs(self, vals, p=8):
-        """Pure-Python reference of hll_registers."""
-        m = 1 << p
+        """Pure-Python reference of hll_registers (31-bit murmur-fmix
+        avalanche; bucket from the high p bits, payload from the low)."""
         regs = {}
         for v in vals:
-            h = ((v % (1 << 31)) * 2654435761) % (1 << 31)
-            bucket, w = h % m, h // m
+            h = self._fmix31(v)
+            bucket, w = h >> (31 - p), h % (1 << (31 - p))
             rho = (31 - p) + 1 - w.bit_length()
             regs[bucket] = max(regs.get(bucket, 0), rho)
         return regs
@@ -1674,3 +1686,101 @@ class TestSimilarityGuardrails:
             similarity.ivf_cosine_topk(
                 emb, big_q, 1, n_lists=2, max_queries=10
             )
+
+
+class TestSketchHashIndependence:
+    """Regression gates for the 2-universal row hashes: width-stride
+    key sets broke the old affine-shift scheme (every row collided),
+    voiding min-of-d / k-probe / register-spread guarantees."""
+
+    def test_cms_stride_keys_do_not_all_collide(self, spark):
+        from sparkh3.operators import sketch
+
+        w = 64
+        keys = [(i * w,) for i in range(100)]  # stride == width
+        df = spark.createDataFrame(keys, "user_id long")
+        sk = sketch.countmin_sketch(df, "user_id", width=w, depth=4)
+        est = {
+            r.user_id: r.est
+            for r in sketch.cms_estimate(
+                sk, df.distinct(), "user_id", w, 4
+            ).collect()
+        }
+        # old scheme: every estimate was 100 (all keys in one counter
+        # per row). 2-universal rows keep most estimates near true (1).
+        assert max(est.values()) < 50
+        assert sum(est.values()) < 500
+
+    def test_bloom_stride_keys_not_guaranteed_fp(self, spark):
+        from sparkh3.operators import sketch
+
+        m = 1024
+        member = spark.createDataFrame([(0,)], "k long")
+        bloom = sketch.bloom_build(member, "k", m_bits=m, k=3)
+        probes = spark.createDataFrame(
+            [(m * i,) for i in range(1, 51)], "k long"
+        )
+        got = sketch.bloom_probe(bloom, probes, "k", m, 3)
+        fp = got.filter("maybe_member").count()
+        # old scheme: all 50 stride-m keys probed the member's exact
+        # bits in every row -> 50 guaranteed false positives
+        assert fp < 10
+
+    def test_hll_stride_values_spread_registers(self, spark):
+        from sparkh3.operators import sketch
+
+        p, n = 8, 2000
+        vals = [(1 << p) * i for i in range(n)]  # stride == 2^p
+        df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+        regs = sketch.hll_registers(df, "g", "v", p=p)
+        # old scheme: low-bits index -> ONE register, estimate ~1
+        assert regs.count() > 100
+        row = sketch.hll_estimate(regs, "g", p=p).collect()[0]
+        assert abs(row.hll_estimate - n) / n < 0.25
+
+
+class TestBandValidation:
+    def test_minhash_bands_must_divide(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="divide"):
+            textops.minhash_lsh_dedup(df, n_hashes=16, bands=20)
+        with pytest.raises(ValueError, match="divide"):
+            textops.minhash_lsh_dedup(df, n_hashes=16, bands=5)
+
+    def test_simhash_max_hamming_bounded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="max_hamming"):
+            textops.simhash_dedup(df, max_hamming=32)
+        with pytest.raises(ValueError, match="max_hamming"):
+            textops.simhash_dedup(df, max_hamming=-1)
+
+    def test_simhash_pigeonhole_recall_large_threshold(self, spark):
+        """Bands scale with max_hamming (pigeonhole), so recall stays
+        exact even when the differing bits would straddle 4 bands."""
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+            (2, "alpha beta gamma delta epsilon zeta eta iota " * 3),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        all_pairs = textops.simhash_dedup(df, max_hamming=31).collect()
+        assert len(all_pairs) == 1  # every pair within 31 bits found
+        d = all_pairs[0].hamming
+        found = textops.simhash_dedup(df, max_hamming=int(d)).collect()
+        assert len(found) == 1 and found[0].hamming == d
+
+    def test_samplers_reject_string_ids(self, spark):
+        df = spark.createDataFrame(
+            [("a", "en", 1.0)], "doc_id string, lang string, w double"
+        )
+        with pytest.raises(TypeError, match="integer"):
+            textops.hash_sample(df, 0.5)
+        with pytest.raises(TypeError, match="integer"):
+            textops.quota_sample(df, "lang", 1)
+        with pytest.raises(TypeError, match="integer"):
+            textops.stratified_split(df, {"train": 0.8, "test": 0.2})
+        with pytest.raises(TypeError, match="integer"):
+            textops.mixture_sample(df, {"en": 1.0})
