@@ -22,19 +22,25 @@ Rings = list[np.ndarray]
 
 
 def _normalize_rings(rings: Rings) -> tuple[Rings, bool]:
-    """Shift transmeridian rings into a continuous lng frame (+360 on the
-    negative side). Returns (rings, shifted?)."""
-    shifted = False
+    """Shift transmeridian polygons into a continuous lng frame (+360 on
+    the negative side). The decision is per-POLYGON, the shift applied
+    to EVERY ring: a hole that does not itself span >180 deg (e.g. a
+    small hole at lng -179.5 inside a shell crossing the antimeridian)
+    must still move into the shell's frame, or the ray cast would test
+    it against shifted query points and silently ignore it. Returns
+    (rings, shifted?)."""
+    arrs = [np.asarray(r, dtype=np.float64) for r in rings]
+    shifted = any(
+        r[:, 1].max() - r[:, 1].min() > 180.0 for r in arrs if len(r)
+    )
+    if not shifted:
+        return arrs, False
     out = []
-    for r in rings:
-        r = np.asarray(r, dtype=np.float64)
-        lng = r[:, 1]
-        if lng.max() - lng.min() > 180.0:
-            shifted = True
-            r = r.copy()
-            r[:, 1] = np.where(lng < 0.0, lng + 360.0, lng)
+    for r in arrs:
+        r = r.copy()
+        r[:, 1] = np.where(r[:, 1] < 0.0, r[:, 1] + 360.0, r[:, 1])
         out.append(r)
-    return out, shifted
+    return out, True
 
 
 def points_in_rings(lat: np.ndarray, lng: np.ndarray, rings: Rings) -> np.ndarray:

@@ -67,27 +67,23 @@ def neighbors(cell) -> np.ndarray:
     return nb
 
 
-def grid_disk_grouped(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """grid_disk(k) for many origins at once.
-
-    Returns (owner_idx, cell) flat arrays; each owner's group is the full
-    disk including the origin. Output size per owner: 1+3k(k+1) (less near
-    pentagons).
-    """
+def _disk_bfs(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """One BFS to depth k over many origins: ((owner, cell) pairs sorted
+    by (owner, cell), grid distance of each pair). The distance array is
+    what lets disk, ring, and all-rings callers share a single
+    expansion instead of re-running the BFS per ring."""
     cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
     n = len(cells)
     owner_all = np.arange(n, dtype=np.int64)
     pairs_all = np.stack([owner_all.astype(np.uint64), cells], axis=1)
+    dist_all = np.zeros(n, dtype=np.int64)
     frontier = pairs_all
-    for _ in range(k):
+    for step in range(1, k + 1):
         f_owner = frontier[:, 0].astype(np.int64)
         f_cells = frontier[:, 1]
         # expand: neighbors of frontier cells, attributed to their owners
         uniq_cells, inv = np.unique(f_cells, return_inverse=True)
         nb_o, nb_c = _neighbors_with_owner(uniq_cells)
-        # map neighbor owner (index into uniq_cells) back to disk owners
-        # build per-frontier expansion: for each frontier pair, all
-        # neighbors of its cell
         order = np.argsort(nb_o, kind="stable")
         nb_o = nb_o[order]
         nb_c = nb_c[order]
@@ -100,20 +96,42 @@ def grid_disk_grouped(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
         ) if len(inv) else np.array([], dtype=np.int64)
         exp_cells = nb_c[idx]
         new_pairs = np.stack([exp_owner.astype(np.uint64), exp_cells], axis=1)
-        merged = np.unique(np.concatenate([pairs_all, new_pairs]), axis=0)
-        # frontier = pairs in merged not in pairs_all
-        frontier = _setdiff_pairs(merged, pairs_all)
-        pairs_all = merged
+        frontier = _setdiff_pairs(np.unique(new_pairs, axis=0), pairs_all)
         if len(frontier) == 0:
             break
-    return pairs_all[:, 0].astype(np.int64), pairs_all[:, 1]
+        pairs_all = np.concatenate([pairs_all, frontier])
+        dist_all = np.concatenate(
+            [dist_all, np.full(len(frontier), step, dtype=np.int64)]
+        )
+    order = np.lexsort((pairs_all[:, 1], pairs_all[:, 0]))
+    return pairs_all[order], dist_all[order]
+
+
+def grid_disk_grouped(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """grid_disk(k) for many origins at once.
+
+    Returns (owner_idx, cell) flat arrays; each owner's group is the full
+    disk including the origin. Output size per owner: 1+3k(k+1) (less near
+    pentagons).
+    """
+    pairs, _ = _disk_bfs(cells, k)
+    return pairs[:, 0].astype(np.int64), pairs[:, 1]
+
+
+def grid_disk_distances_grouped(
+    cells: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(owner_idx, cell, grid_distance) for the full disk(k) — every
+    ring 0..k from ONE BFS (the shape the kNN/radius disk builders
+    want: per-ring calls would redo the expansion per ring)."""
+    pairs, dist = _disk_bfs(cells, k)
+    return pairs[:, 0].astype(np.int64), pairs[:, 1], dist
 
 
 def _setdiff_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Rows of a (sorted unique (M,2)) not present in b (sorted unique)."""
+    """Rows of a (unique (M,2)) not present in b (unique)."""
     if len(b) == 0:
         return a
-    av = a[:, 0] * np.uint64(0) + a[:, 0]  # no-op; keep dtype
     # encode rows as structured void for fast membership
     a_view = a.view([("o", np.uint64), ("c", np.uint64)]).reshape(-1)
     b_view = b.view([("o", np.uint64), ("c", np.uint64)]).reshape(-1)
@@ -122,15 +140,14 @@ def _setdiff_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def grid_ring_grouped(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Hollow ring at exactly distance k: disk(k) minus disk(k-1)."""
+    """Hollow ring at exactly distance k — the depth-k frontier of one
+    BFS (no second disk(k-1) expansion)."""
     cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
     if k == 0:
         return np.arange(len(cells), dtype=np.int64), cells.copy()
-    o_k, c_k = grid_disk_grouped(cells, k)
-    o_k1, c_k1 = grid_disk_grouped(cells, k - 1)
-    pairs_k = np.stack([o_k.astype(np.uint64), c_k], axis=1)
-    pairs_k1 = np.stack([o_k1.astype(np.uint64), c_k1], axis=1)
-    ring = _setdiff_pairs(pairs_k, pairs_k1)
+    pairs, dist = _disk_bfs(cells, k)
+    m = dist == k
+    ring = pairs[m]
     return ring[:, 0].astype(np.int64), ring[:, 1]
 
 

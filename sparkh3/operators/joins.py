@@ -351,14 +351,14 @@ def _query_disks(
     qla = np.array([r[q_lat] for r in qrows], dtype=np.float64)
     qlo = np.array([r[q_lng] for r in qrows], dtype=np.float64)
     qcells = kgeo.latlng_to_cell(qla, qlo, resolution)
-    disk_rows = []
-    for r in range(n_rings + 1):
-        o, c = tv.grid_ring_grouped(qcells, r)
-        strs = ixk.int_to_str(c)
-        for oi, cs in zip(o.tolist(), strs.tolist()):
-            disk_rows.append(
-                (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
-            )
+    # the full disk(n_rings) in ONE BFS (per-ring calls would re-expand
+    # the whole neighborhood once per ring — O(k^2) probe levels)
+    o, c, _ = tv.grid_disk_distances_grouped(qcells, n_rings)
+    strs = ixk.int_to_str(c)
+    disk_rows = [
+        (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
+        for oi, cs in zip(o.tolist(), strs.tolist())
+    ]
     return spark.createDataFrame(
         disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"]
     )

@@ -29,20 +29,28 @@ def detect_hot_keys(
     df: DataFrame, key_col: str, sample_fraction: float = 0.05, top_n: int = 32
 ) -> list:
     """Sampled heavy-hitter detection for a grouping key."""
+    sampled = df.sample(fraction=sample_fraction, seed=42)
     counts = (
-        df.sample(fraction=sample_fraction, seed=42)
-        .groupBy(key_col)
+        sampled.groupBy(key_col)
         .count()
         .orderBy(F.col("count").desc())
         .limit(top_n)
     )
-    total = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     rows = counts.collect()
     if not rows:
         return []
-    # hot = keys holding disproportionate sample mass
-    mean = sum(r["count"] for r in rows) / len(rows)
-    return [r[key_col] for r in rows if r["count"] > 2 * mean]
+    total = sum(r["count"] for r in rows)
+    mean = total / len(rows)
+    # hot = disproportionate vs the other top keys OR vs an even
+    # spread of the sampled mass across the cluster's parallelism —
+    # the second test catches the single-dominant-key case, where
+    # "2x the top-N mean" can never fire (one key IS the mean)
+    return [
+        r[key_col]
+        for r in rows
+        if r["count"] > 2 * mean or r["count"] > max(total / par, 1)
+    ]
 
 
 def salted_cell_count(
@@ -59,11 +67,17 @@ def salted_cell_count(
     if hot_keys is None:
         hot_keys = detect_hot_keys(df, cell_col)
     hot = F.array(*[F.lit(k) for k in hot_keys]) if hot_keys else F.array()
+    # salt from the row POSITION, not a hash of the row's columns:
+    # skewed data is typically duplicate-heavy (identical rows on the
+    # hot key), and a content hash would map them all to ONE salt
+    # bucket — i.e. no spreading at all. monotonically_increasing_id is
+    # per-row-position; counts/sums are salt-invariant so the result
+    # stays deterministic.
     salted = df.withColumn(
         "_salt",
         F.when(
             F.array_contains(hot, F.col(cell_col)),
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)),
+            F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)),
         ).otherwise(F.lit(0)),
     )
     aggs = [F.count("*").alias("n")]

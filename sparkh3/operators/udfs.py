@@ -192,6 +192,10 @@ def pip_broadcast_fused(
             levels.append((lvl, cc[order], cp[order], ci[order]))
     else:
         res_fine = 0
+    # lifetime note: the broadcast is captured by the returned frame's
+    # UDF closure, so Spark's ContextCleaner reclaims it once the caller
+    # drops the DataFrame (broadcasts, unlike cache entries, are
+    # GC-tracked) — no explicit destroy() needed or safe here
     bc = points.sparkSession.sparkContext.broadcast(
         (levels, res_fine, keys, rings_list)
     )
@@ -266,8 +270,11 @@ def pip_broadcast_fused(
 
 
 def k_ring_udf_int(k: int):
-    """cell -> array<string> disk; assumes valid uniform-res inputs
-    (internal: kNN expansion)."""
+    """cell -> array<string> disk (internal: kNN expansion). Null rows
+    must be EXCLUDED before the kernel call, not just masked after:
+    grid_disk_grouped takes the batch resolution from its first cell,
+    so a null (folded to cell 0, res 0) would poison every other row's
+    disk in the Arrow batch."""
 
     @F.pandas_udf(ArrayType(StringType()))
     def f(cell: pd.Series) -> pd.Series:
@@ -277,8 +284,14 @@ def k_ring_udf_int(k: int):
         from ..kernel import traversal as tv
 
         cells, null = _np_str_cells(cell)
-        o, c = tv.grid_disk_grouped(cells, k)
-        lists = _grouped_to_lists(o, c, len(cells))
-        return pd.Series([None if null[i] else lists[i] for i in range(len(cells))])
+        n = len(cells)
+        out: list = [None] * n
+        sel = np.where(~null)[0]
+        if sel.size:
+            o, c = tv.grid_disk_grouped(cells[sel], k)
+            lists = _grouped_to_lists(o, c, len(sel))
+            for li, gi in enumerate(sel):
+                out[gi] = lists[li]
+        return pd.Series(out)
 
     return f

@@ -33,27 +33,42 @@ from pyspark.sql import functions as F
 
 
 def _all_shard_fingerprints(sharded: DataFrame, n_shards: int) -> dict[int, dict]:
-    """Fingerprint every shard in ONE groupBy pass (count + xor of row
-    hashes per shard) — not one full input scan per shard."""
+    """Fingerprint every shard in ONE groupBy pass — not one full input
+    scan per shard. Digest = (count, xor of row hashes, SUM of folded
+    row hashes): xor alone cancels rows with even multiplicity (a shard
+    of [A,A] and one of [B,B] share count 2 and xor 0), so the
+    order-independent sum is carried as the multiplicity-sensitive
+    component (exact decimal — no overflow at any shard size)."""
     data_cols = [c for c in sharded.columns if c != "_shard"]
+    h_expr = (
+        "xxhash64(struct(" + ", ".join(f"`{c}`" for c in data_cols) + "))"
+    )
     rows = (
         sharded.groupBy("_shard")
         .agg(
             F.count("*").alias("n"),
+            F.coalesce(F.expr(f"bit_xor({h_expr})"), F.lit(0)).alias("h"),
             F.coalesce(
-                F.expr(
-                    "bit_xor(xxhash64(struct("
-                    + ", ".join(f"`{c}`" for c in data_cols)
-                    + ")))"
+                F.sum(
+                    F.expr(f"pmod({h_expr}, 2147483648)").cast(
+                        "decimal(28,0)"
+                    )
                 ),
                 F.lit(0),
-            ).alias("h"),
+            ).alias("s"),
         )
         .collect()
     )
-    fps = {int(r["_shard"]): {"rows": r["n"], "digest": int(r["h"])} for r in rows}
+    fps = {
+        int(r["_shard"]): {
+            "rows": r["n"],
+            "digest": int(r["h"]),
+            "sum": int(r["s"]),
+        }
+        for r in rows
+    }
     for k in range(n_shards):
-        fps.setdefault(k, {"rows": 0, "digest": 0})
+        fps.setdefault(k, {"rows": 0, "digest": 0, "sum": 0})
     return fps
 
 
@@ -75,6 +90,19 @@ def run_stage(
     root = Path(ckpt_root) / stage
     ledger_dir = root / "_ledger"
     ledger_dir.mkdir(parents=True, exist_ok=True)
+    # a resume against a checkpoint laid down with a DIFFERENT shard
+    # count would both mis-route the fingerprint comparison and leave
+    # stale shard=<k> dirs (k >= n_shards) that the final read would
+    # double-count — reject it up front
+    for p in ledger_dir.glob("*.json"):
+        prev = json.loads(p.read_text())["lineage"]["n_shards"]
+        if prev != n_shards:
+            raise ValueError(
+                f"checkpoint stage '{stage}' was laid down with "
+                f"n_shards={prev}, re-run requested n_shards={n_shards} "
+                "— clear the stage directory or keep the shard count"
+            )
+        break
     sharded = input_df.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards))
     ).persist()
@@ -126,7 +154,11 @@ def run_stage(
         tmp.replace(ledger_file)
         completed += 1
     sharded.unpersist()
-    return spark.read.parquet(str(root / "shard=*"))
+    # explicit shard list, not a glob: a glob would adopt stale
+    # shard dirs left by runs with other parameters
+    return spark.read.parquet(
+        *[str(root / f"shard={k}") for k in range(n_shards)]
+    )
 
 
 def stage_metrics(ckpt_root: str, stage: str) -> list[dict]:

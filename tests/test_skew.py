@@ -34,3 +34,33 @@ def test_hot_key_detection(spark):
     )
     hot = skew.detect_hot_keys(df, "cell", sample_fraction=0.2)
     assert "mega" in hot
+
+
+def test_single_dominant_key_detected(spark):
+    from sparkh3.operators.skew import detect_hot_keys
+
+    df = spark.createDataFrame(
+        [("hot",)] * 2000, "cell string"
+    )
+    assert detect_hot_keys(df, "cell", sample_fraction=1.0) == ["hot"]
+
+
+def test_identical_rows_spread_across_salts(spark):
+    """Skewed data is duplicate-heavy; a content-hash salt put every
+    identical row in ONE bucket (no spreading at all)."""
+    from pyspark.sql import functions as F
+
+    from sparkh3.operators.skew import salted_cell_count
+
+    df = spark.createDataFrame(
+        [("hot", 1)] * 800, "cell string, v long"
+    ).repartition(8)
+    out = salted_cell_count(df, "cell", "v", hot_keys=["hot"])
+    row = out.collect()[0]
+    assert (row.n, row.sum_v) == (800, 800)
+    # inspect the partial stage directly: >1 distinct salt bucket
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(16)),
+    )
+    assert salted.select("_salt").distinct().count() > 1

@@ -798,3 +798,32 @@ class TestCowRegressions:
         )
         with pytest.raises(Exception, match="unknown _change_type"):
             manifest.rollup_delta(ch, ["g"], ["v"]).collect()
+
+
+class TestCheckpointGuardrails:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_n_shards_mismatch_rejected(self, spark, tmp_path):
+        df = self._docs(spark, ["a", "b", "c", "d"])
+        ident = lambda d: d  # noqa: E731
+        checkpoint.run_stage(df, "s", ident, str(tmp_path), "doc_id", n_shards=4)
+        with pytest.raises(ValueError, match="n_shards"):
+            checkpoint.run_stage(
+                df, "s", ident, str(tmp_path), "doc_id", n_shards=2
+            )
+
+    def test_duplicate_multiplicity_change_reruns(self, spark, tmp_path):
+        """[A,A] -> [B,B] has identical count AND xor digest (xor of a
+        duplicated pair cancels); the sum component must force a
+        re-run instead of silently reusing the stale output."""
+        a = self._docs(spark, ["same", "same"])
+        b = self._docs(spark, ["other", "other"])
+        ident = lambda d: d  # noqa: E731
+        checkpoint.run_stage(a, "m", ident, str(tmp_path), "doc_id", n_shards=1)
+        out = checkpoint.run_stage(
+            b, "m", ident, str(tmp_path), "doc_id", n_shards=1
+        )
+        assert sorted(r.text for r in out.collect()) == ["other", "other"]

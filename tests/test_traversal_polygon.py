@@ -282,3 +282,48 @@ class TestClassifiedCover:
             cells, interior = pg.polygon_cover_cells_classified([ring], 4)
             for b in geo.cell_to_boundary(cells[interior]):
                 assert pg.points_in_rings(b[:, 0], b[:, 1], [ring]).all()
+
+
+class TestTransmeridianHole:
+    def test_hole_in_transmeridian_shell_subtracts(self):
+        """A hole that does not itself span >180 deg must still shift
+        into the transmeridian shell's longitude frame — per-ring
+        shifting left it in the wrong frame and silently ignored it."""
+        import numpy as np
+
+        from sparkh3.kernel import polygon as pg
+
+        shell = np.array(
+            [(-5.0, 170.0), (-5.0, -170.0), (5.0, -170.0), (5.0, 170.0)]
+        )
+        hole = np.array(
+            [(-1.0, -179.8), (-1.0, -179.0), (1.0, -179.0), (1.0, -179.8)]
+        )
+        lat = np.array([0.0, 0.0, 0.0])
+        lng = np.array([-179.4, -175.0, 175.0])
+        got = pg.points_in_rings(lat, lng, [shell, hole])
+        # first point is inside the hole -> OUTSIDE the polygon
+        assert got.tolist() == [False, True, True]
+
+    def test_ring_matches_bfs_frontier(self):
+        """grid_ring == the depth-k frontier of the single-BFS disk."""
+        import numpy as np
+
+        from sparkh3.kernel import geo as kgeo
+        from sparkh3.kernel import traversal as tv
+
+        cells = kgeo.latlng_to_cell(
+            np.array([40.7, -33.9, 0.1]), np.array([-74.0, 151.2, 0.1]), 7
+        )
+        for k in (1, 2, 4):
+            o_d, c_d, dist = tv.grid_disk_distances_grouped(cells, k)
+            o_r, c_r = tv.grid_ring_grouped(cells, k)
+            ring_from_disk = {
+                (int(o), int(c))
+                for o, c, d in zip(o_d, c_d, dist)
+                if d == k
+            }
+            assert {(int(o), int(c)) for o, c in zip(o_r, c_r)} == ring_from_disk
+            # disk sizes still the hexagonal closed form (no pentagons here)
+            per_owner = np.bincount(o_d)
+            assert all(int(x) == 1 + 3 * k * (k + 1) for x in per_owner)
