@@ -57,12 +57,17 @@ def _coord_sql(d: str) -> tuple[str, str]:
     hot = f"(({d} % 10) < 7)"
     hub_lat = _hub_case_sql(d, 0)
     hub_lng = _hub_case_sql(d, 1)
+    # hot docs land in a 1x1-degree box offset [-1,0) deg lat and
+    # [-2,-1) deg lng from their hub (u1/u2 are already < 1e6, so the
+    # box sits southwest of the hub center rather than centered on it —
+    # kept as-is: the SKEW property is the dense per-hub cluster, and
+    # every committed golden/bench artifact pins these exact coords)
     lat = (
-        f"CASE WHEN {hot} THEN {hub_lat} + ({u1} % 2000000) - 1000000 "
+        f"CASE WHEN {hot} THEN {hub_lat} + {u1} - 1000000 "
         f"ELSE {u1} * 140 - 70000000 END"
     )
     lng = (
-        f"CASE WHEN {hot} THEN {hub_lng} + ({u2} % 4000000) - 2000000 "
+        f"CASE WHEN {hot} THEN {hub_lng} + {u2} - 2000000 "
         f"ELSE {u2} * 360 - 180000000 END"
     )
     return lat, lng

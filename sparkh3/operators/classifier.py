@@ -20,8 +20,6 @@ join profile as BM25 scoring.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,6 +75,11 @@ def logreg_train(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     spark = df.sparkSession
+    # null-text docs produce no token pairs, so they would drop out of
+    # the margins while still inflating n_docs — exclude them from the
+    # TRAINING population entirely (scoring still handles them:
+    # bias-only margin)
+    df = df.filter(F.col(text_col).isNotNull())
     labeled = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast("double").alias("_y"),

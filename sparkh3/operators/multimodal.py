@@ -79,13 +79,15 @@ def decode_image(payload: bytes):
 
 
 def fake_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in feature vector from payload bytes."""
+    """Deterministic stand-in feature vector from the first 64 payload
+    bytes (FNV-1a fold; the cap bounds cost on huge blobs)."""
     out = []
     acc = 2166136261
-    for i, b in enumerate(payload or b"\x00"):
+    # slice, don't break-after-update: the old `if i >= 64: break`
+    # consumed a 65th byte, so any faithful 64-byte reimplementation
+    # diverged on longer payloads
+    for b in (payload or b"\x00")[:64]:
         acc = (acc ^ b) * 16777619 & 0xFFFFFFFF
-        if i >= 64:
-            break
     for d in range(dim):
         acc = (acc * 1103515245 + 12345 + d) & 0x7FFFFFFF
         out.append(acc / 0x7FFFFFFF)
@@ -193,7 +195,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.lit(every_ms).cast("long"),
     )
     return (
-        df.filter(F.col("kind") == "video")
+        # duration 0 must yield NO frames (greatest(-1, 0) would clamp
+        # the sequence end to 0 and emit a phantom frame at ts=0)
+        df.filter((F.col("kind") == "video") & (F.col("duration_ms") > 0))
         .withColumn("frame_ts_ms", F.explode(frames))
         .select("media_id", "frame_ts_ms", "width", "height")
     )

@@ -100,8 +100,12 @@ def group_trend_fit(
     group, the result is independent of partition order (unlike a
     float covariance accumulation), and the closing slope/intercept
     divisions are single exact-rounded IEEE ops — bit-identical in any
-    engine. Caller contract: n·Σ|xy| must stay below 2^63 (document
-    the quantization; the lane uses x ≤ ~720, y ≤ ~10^6, n ≤ 10^7).
+    engine. The closing products (n·Σx², Σx·Σx, n·Σxy, Σx·Σy) are
+    computed in exact decimal(38,0) — as int64 they would silently
+    wrap for large groups (n·Σxy exceeds 2^63 long before the int64
+    SUMS do). Caller contract: each SUM must stay below 2^63, i.e.
+    n·max|x·y| < 2^63 (the lane's x ≤ ~720, y ≤ ~10^6 allows n up to
+    ~10^10 rows per group).
 
     Returns (group_col, n, slope, intercept), slope/intercept rounded
     to 9 decimals, null for degenerate groups (zero x-variance).
@@ -115,14 +119,17 @@ def group_trend_fit(
         F.sum(x * x).alias("_sxx"),
         F.sum(x * y).alias("_sxy"),
     )
-    det = g["n"] * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # decimal(19,0) holds any int64; the (38,0) product is exact
+    dn = g["n"].cast("decimal(19,0)")
+    dsx = F.col("_sx").cast("decimal(19,0)")
+    dsy = F.col("_sy").cast("decimal(19,0)")
+    dsxx = F.col("_sxx").cast("decimal(19,0)")
+    dsxy = F.col("_sxy").cast("decimal(19,0)")
+    det = dn * dsxx - dsx * dsx
     slope = F.when(
         det != 0,
         F.round(
-            (g["n"] * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
-                "double"
-            )
-            / det.cast("double"),
+            (dn * dsxy - dsx * dsy).cast("double") / det.cast("double"),
             9,
         ),
     )
@@ -171,8 +178,14 @@ def group_zscore(
         F.count("*").alias("_n"),
         F.sum(x).alias("_sx"),
         F.sum(x * x).alias("_sxx"),
-    )
-    j = df.join(F.broadcast(stats), group_col)
+    ).withColumnRenamed(group_col, "_g")
+    # null-SAFE equality: groupBy keeps a null-key group, and rows in
+    # it must come back standardized too — a plain equi-join would
+    # silently drop every null-group input row
+    j = df.join(
+        F.broadcast(stats),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+    ).drop("_g")
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sxx = F.col("_sxx").cast("double")

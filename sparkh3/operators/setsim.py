@@ -43,10 +43,11 @@ def jaccard_similarity_join(
     frequencies (partially aggregated); per-document rarity rank window;
     prefix equi-join (the only pair-producing step — fan-out follows
     rare-token frequencies, not set sizes); exact array verify on the
-    candidates. Empty token sets cannot reach any positive threshold
-    and are dropped (their prefix would be their whole set of size 1
-    after the degenerate '' token — kept, matching the oracle's
-    tokenizer).
+    candidates. Note the tokenizer maps an empty/whitespace-only text
+    to the single '' token (a size-1 set, NOT dropped) — blank
+    documents therefore pair with each other at jaccard 1.0, exactly
+    like the oracle's tokenizer; filter blanks upstream if that is not
+    wanted.
     """
     if not (0 < threshold_p <= threshold_q):
         raise ValueError(

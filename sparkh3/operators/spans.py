@@ -27,11 +27,19 @@ def extract_geometry(df: DataFrame, spans_col: str = "spans") -> DataFrame:
 
 
 def span_fingerprint(spans_col: str = "spans") -> Column:
-    """Canonical digest of the (kind, text, media_ref, order) sequence."""
+    """Canonical digest of the (kind, text, media_ref, order) sequence.
+    Null fields encode as an explicit sentinel — concat_ws SKIPS nulls,
+    which would make (text=NULL, media_ref='r') and (text='r',
+    media_ref=NULL) collide and let exactly the field-shift corruption
+    this digest exists to catch pass the invariant. (Sentinel \\x00
+    never occurs in the span data model.)"""
     canon = F.transform(
         F.col(spans_col),
         lambda s: F.concat_ws(
-            "\x1f", s["kind"], s["text"], s["media_ref"]
+            "\x1f",
+            F.coalesce(s["kind"], F.lit("\x00")),
+            F.coalesce(s["text"], F.lit("\x00")),
+            F.coalesce(s["media_ref"], F.lit("\x00")),
         ),
     )
     return F.sha2(F.concat_ws("\x1e", canon), 256)

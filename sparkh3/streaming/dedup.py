@@ -221,21 +221,23 @@ def streaming_bloom_dedup(
         ids: list[str] = []
         hashes: list[int] = []
         flags: list[bool] = []
-        # same 2-universal ((a_r*x + b_r) mod 2^31-1) mod m probe family
-        # as sketch._bucket (probes stay independent per r)
+        # Kirsch-Mitzenmacher double hashing from BOTH 32-bit halves of
+        # the 64-bit content hash: probe_r = (h_lo + r*h_hi + r^2) mod m.
+        # Folding to 31 bits first would floor the false-positive rate
+        # at ~N^2/2^32 forever (two texts colliding mod 2^31 collide on
+        # every probe, no filter size can fix it) — the full 64 bits
+        # keep the floor at the hash's own 2^-64.
         mp = (1 << 31) - 1
-        consts = [
-            (((2 * r + 1) * 2654435761) % mp, ((2 * r + 2) * 2654435761) % mp)
-            for r in range(k)
-        ]
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             for h, did in zip(pdf["text_hash"], pdf["doc_id"]):
                 h = int(h)
+                h_lo = h & 0xFFFFFFFF
+                h_hi = (h >> 32) & 0xFFFFFFFF
                 present = True
                 bits = []
-                for a, b in consts:
-                    bit = ((h % (1 << 31)) * a + b) % mp % shard_bits
+                for r in range(k):
+                    bit = (h_lo + r * h_hi + r * r) % mp % shard_bits
                     bits.append(bit)
                     if not (buf[bit >> 3] >> (bit & 7)) & 1:
                         present = False

@@ -185,3 +185,35 @@ class TestSkylineNulls:
         ids = {r.id for r in skyline(df, minimize=["a", "b"]).collect()}
         # row 3 dominated by row 1; row 2 incomparable (null a) -> kept
         assert ids == {1, 2}
+
+
+class TestProfileGuardrails:
+    def test_trend_fit_large_group_no_overflow(self, spark):
+        """Closing products run in exact decimal: int64 products
+        (n*Σxy etc.) would silently wrap for large groups."""
+        import numpy as np
+
+        from sparkh3.operators.profile import group_trend_fit
+
+        n = 5000
+        xs = np.arange(n) % 720
+        ys = 1000 * xs + 500_000  # exact linear, large y
+        df = spark.createDataFrame(
+            [("g", int(x), int(y)) for x, y in zip(xs, ys)],
+            "g string, x long, y long",
+        )
+        row = group_trend_fit(df, "g", "x", "y").collect()[0]
+        assert row.slope == 1000.0 and row.intercept == 500000.0
+
+    def test_zscore_null_group_rows_survive(self, spark):
+        from sparkh3.operators.profile import group_zscore
+
+        df = spark.createDataFrame(
+            [(1, None, 10), (2, None, 20), (3, "g", 7)],
+            "id long, grp string, v long",
+        )
+        out = {r.id: (r.z, r.is_outlier)
+               for r in group_zscore(df, "v", "grp", 0.5).collect()}
+        assert len(out) == 3  # null-group rows NOT dropped
+        assert out[1][0] is not None  # standardized within null group
+        assert out[3] == (None, False)  # singleton

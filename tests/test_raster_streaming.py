@@ -396,3 +396,47 @@ class TestExactlyOnceSink:
         )
         q2.awaitTermination(120)
         assert manifest.load_snapshot(str(tmp_path / "tbl"))["version"] == v1
+
+
+class TestMultimodalGuardrails:
+    def test_fake_features_window_is_exactly_64_bytes(self):
+        from sparkh3.operators.multimodal import fake_features
+
+        base = bytes(range(64))
+        assert fake_features(base + b"\x01") == fake_features(base + b"\x02")
+        assert fake_features(base[:-1] + b"\x09") != fake_features(base)
+
+    def test_sample_frames_zero_duration_yields_no_frames(self, spark):
+        from sparkh3.operators.multimodal import sample_frames
+
+        df = spark.createDataFrame(
+            [("m0", "video", 0, 100, 100), ("m1", "video", 2500, 100, 100)],
+            "media_id string, kind string, duration_ms long, "
+            "width int, height int",
+        )
+        got = sample_frames(df, every_ms=1000).collect()
+        assert all(r.media_id == "m1" for r in got)
+        assert len(got) == 3  # ts 0, 1000, 2000
+
+
+def test_span_fingerprint_distinguishes_null_field_shift(spark):
+    """A field-shift corruption (text <-> media_ref with nulls) must
+    change the fingerprint — concat_ws alone would skip the nulls and
+    collide the two encodings."""
+    from pyspark.sql import functions as F
+
+    from sparkh3.operators import spans as sp
+
+    a = spark.createDataFrame(
+        [(1, [("media", None, "r1", 0)])],
+        "doc_id long, spans array<struct<kind string, text string, "
+        "media_ref string, offset long>>",
+    )
+    b = spark.createDataFrame(
+        [(1, [("media", "r1", None, 0)])],
+        "doc_id long, spans array<struct<kind string, text string, "
+        "media_ref string, offset long>>",
+    )
+    fa = a.select(sp.span_fingerprint().alias("f")).collect()[0].f
+    fb = b.select(sp.span_fingerprint().alias("f")).collect()[0].f
+    assert fa != fb
