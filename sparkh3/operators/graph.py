@@ -31,7 +31,13 @@ __all__ = [
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For every node u with neighborhood N(u): connect each strictly
-    larger neighbor to m = min(N(u) + {u}). Symmetrizes internally."""
+    larger neighbor to m = min(N(u) + {u}). Symmetrizes internally.
+
+    Returns a MULTISET (no trailing distinct): `_small_star` ends every
+    round with a distinct anyway, its min-aggregate is duplicate-
+    immune, and dropping the dedup here removes one full Exchange of
+    the edge set per round (guide §2.4) for at most a 2|E| transient
+    row inflation into the next groupBy's partial aggregation."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -43,7 +49,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -80,21 +85,29 @@ def connected_components(
     graphs converge in 2-3.
     """
     raw = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # node universe from the RAW pairs (self-loop-only nodes still get a
-    # row mapping to themselves); localCheckpoint so the possibly-huge
-    # pair lineage (e.g. a similarity self-join) is computed exactly
-    # once for the whole call
+    # materialize the RAW pair list exactly once: nodes, the empty
+    # check and round 1 each run an action over it, and without this
+    # every one of those re-derives the entire upstream pair pipeline
+    # (a minhash-LSH chain costs as much as the whole CC loop —
+    # measured ~2x the operator in bench x3). The pair list is the
+    # small end of the pipeline by design, so this is the cheap side
+    # of the trade; localCheckpoint (not persist) keeps no CacheManager
+    # entry alive past the call.
+    raw = raw.localCheckpoint(eager=True)
+    # node universe from the RAW pairs (self-loop-only nodes still get
+    # a row mapping to themselves); lazy — read again only by the final
+    # roots anti-join
     nodes = (
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = (
-        raw.filter(F.col("src") != F.col("dst")).distinct().persist()
+        raw.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     if edges.isEmpty():
-        edges.unpersist()
         return nodes.select("node", F.col("node").alias("cluster_id"))
 
     def _fingerprint(e: DataFrame):
@@ -114,7 +127,6 @@ def connected_components(
         # round ~6 (a path graph needs O(log n) rounds)
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         fp = _fingerprint(nxt)
-        edges.unpersist()
         edges = nxt
         if fp == prev:
             break
@@ -139,9 +151,7 @@ def connected_components(
     # materialize BEFORE dropping the caches the lazy plan depends on
     # (the result is one small row per node; recomputing it later would
     # re-derive the full pair lineage)
-    out = assigned.unionByName(roots).localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
+    return assigned.unionByName(roots).localCheckpoint(eager=True)
 
 
 def pagerank(

@@ -326,13 +326,16 @@ def _query_disks(
 ) -> DataFrame:
     """Ring-labeled broadcast disks (_qid, _qlat, _qlng, _cell0) for a
     collected query side — the shared scaffold of the kNN broadcast
-    path and radius_join. Rejects null/NaN coordinates up front: a NaN
-    would encode to a garbage cell and the join would silently return
-    arbitrary rows instead of failing."""
+    path and radius_join. Cells ride as INT64 (the at-scale storage
+    form): the equi-join probes a long column instead of allocating a
+    hex string per point row, and the cell ids are dropped before the
+    result surfaces, so the representation is invisible to callers.
+    Rejects null/NaN coordinates up front: a NaN would encode to a
+    garbage cell and the join would silently return arbitrary rows
+    instead of failing."""
     import numpy as np
 
     from ..kernel import geo as kgeo
-    from ..kernel import index as ixk
     from ..kernel import traversal as tv
 
     bad = [
@@ -354,10 +357,9 @@ def _query_disks(
     # the full disk(n_rings) in ONE BFS (per-ring calls would re-expand
     # the whole neighborhood once per ring — O(k^2) probe levels)
     o, c, _ = tv.grid_disk_distances_grouped(qcells, n_rings)
-    strs = ixk.int_to_str(c)
     disk_rows = [
         (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
-        for oi, cs in zip(o.tolist(), strs.tolist())
+        for oi, cs in zip(o.tolist(), c.view(np.int64).tolist())
     ]
     return spark.createDataFrame(
         disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"]
@@ -380,19 +382,41 @@ def _knn_broadcast(
 ) -> DataFrame:
     """Fused small-query-side kNN: broadcast ring-labeled query disks,
     one equi-join + one window; exact-by-certificate, iterative fallback
-    for queries the `max_ring` disk cannot certify."""
+    for queries the `max_ring` disk cannot certify.
+
+    The narrow (id, lat, lng, cell) point projection is persisted for
+    the duration of the call (and unpersisted before returning): the
+    certificate action and the straggler pass both scan it, and
+    without the cache the second pass re-runs the caller's entire
+    point-side pipeline (e.g. a span-extraction chain) — guide §5's
+    "reused AND expensive to recompute" case. Blocks that don't fit
+    memory spill to disk; at worst the straggler pass degrades to the
+    rescan it always was."""
     if qrows is None:
-        qrows = queries.select(query_id, q_lat, q_lng).collect()
+        # same guardrail as knn_join's dispatch (VERDICT r5 #7): this
+        # path broadcasts the query side, so a misdeclared huge query
+        # frame must fail fast, not OOM the driver
+        qrows = (
+            queries.select(query_id, q_lat, q_lng)
+            .limit(65537)
+            .collect()
+        )
+        if len(qrows) > 65536:
+            raise ValueError(
+                "_knn_broadcast: query side exceeds 65536 rows — use "
+                "_knn_iterative (knn_join dispatches automatically)"
+            )
     qdf = _query_disks(
         points.sparkSession, qrows, query_id, q_lat, q_lng,
         resolution, max_ring,
     )
-    cell = H3F.latlng_to_cell_udf(resolution)
+    cell = H3F.latlng_to_cell_long_udf(resolution)
     pts = points.select(
         F.col(point_id).alias("_pid"),
         F.col(p_lat).alias("_plat"),
         F.col(p_lng).alias("_plng"),
     ).withColumn("_cell0", cell(F.col("_plat"), F.col("_plng")))
+    pts = pts.persist()
     cand = pts.join(F.broadcast(qdf), "_cell0").withColumn(
         "_dist",
         haversine_km(
@@ -442,6 +466,7 @@ def _knn_broadcast(
         # one action AND is GC-cleaned when the caller drops it
         out = done.localCheckpoint(eager=True)
         topk.unpersist()
+        pts.unpersist()
         return out
     stragglers = queries.filter(
         ~F.col(query_id).isin(safe_ids) if safe_ids else F.lit(True)
@@ -479,6 +504,7 @@ def _knn_broadcast(
         )
     out = done.unionByName(rest).localCheckpoint(eager=True)
     topk.unpersist()
+    pts.unpersist()
     return out
 
 
@@ -678,7 +704,9 @@ def radius_join(
         points.sparkSession, qrows, query_id, q_lat, q_lng,
         resolution, k_rings,
     )
-    cell = H3F.latlng_to_cell_udf(resolution)
+    # int64 cells (see _query_disks): no per-point hex-string
+    # allocation, long equi-join key; dropped before the output
+    cell = H3F.latlng_to_cell_long_udf(resolution)
     pts = points.select(
         F.col(point_id).alias("_pid"),
         F.col(p_lat).alias("_plat"),

@@ -354,11 +354,14 @@ def minhash_lsh_dedup(
 
     Scale shape (100 TB): the signature is built from ONE native
     xxhash64 pass over the shingles plus one Arrow pandas-UDF pass of
-    NumPy arithmetic (no interpreted HOF chains); only ``(_id, _bucket)``
-    rides the banding explode and the bucket self-join — document text
-    NEVER enters the shuffle. The verified candidate set is tiny by
-    construction, so the text re-join for exact Jaccard broadcasts the
-    pair list into the documents scan (AQE picks BroadcastHashJoin).
+    NumPy arithmetic (no interpreted HOF chains), and it is built
+    exactly once — candidate pairs come from ONE groupBy over the
+    banded ``(_id, _bucket)`` stream (in-bucket ordered combinations
+    via explode), not a bucket self-join whose two branches would each
+    re-run the signature subtree. Document text NEVER enters a
+    shuffle: the exact-Jaccard verify broadcasts the (tiny by
+    construction) pair list into two plain document scans, so the text
+    side streams with no exchange on either verify join.
     """
     if not 1 <= bands <= n_hashes or n_hashes % bands != 0:
         # bands > n_hashes degenerates every bucket to hash(band) — an
@@ -369,6 +372,7 @@ def minhash_lsh_dedup(
         )
     rows_per_band = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes)
+    raw = df
     df = _spread(df)
     # one JVM xxhash64 pass over shingles -> one Arrow NumPy pass for the
     # n_hashes permuted mins; slim (_id, _sig) is all that gets banded
@@ -399,20 +403,39 @@ def minhash_lsh_dedup(
         )
         .select("_id", "_bucket")
     )
-    a = banded.select(F.col("_id").alias("id_a"), "_bucket")
-    b = banded.select(F.col("_id").alias("id_b"), "_bucket")
+    # in-bucket ordered combinations from one grouped pass: identical
+    # pair set to the former a><b self-join on _bucket, but the banded
+    # stream (and the whole signature subtree feeding it) is scanned
+    # once instead of twice, and one join + one exchange disappear.
+    # Degenerate giant buckets blow up either formulation identically
+    # (b^2 pairs); the per-bucket id array is b longs.
+    grouped = (
+        banded.groupBy("_bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     pairs = (
-        a.join(b, "_bucket")
+        grouped.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
-    # exact-Jaccard verify: re-join text by id for the candidate pairs only
-    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    # exact-Jaccard verify: re-join text by id for the candidate pairs
+    # only. The pair side is broadcast EXPLICITLY so the documents scan
+    # streams through both joins (no text shuffle, no reliance on size
+    # estimates); texts come from the raw input, not the _spread copy —
+    # a broadcast probe needs no repartition of the corpus.
+    texts = raw.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_t")
+    )
     pairs = (
-        pairs.join(texts.withColumnRenamed("_tid", "id_a"), "id_a")
+        texts.withColumnRenamed("_tid", "id_a")
+        .join(F.broadcast(pairs), "id_a")
         .withColumnRenamed("_t", "_ta")
-        .join(texts.withColumnRenamed("_tid", "id_b"), "id_b")
+    )
+    pairs = (
+        texts.withColumnRenamed("_tid", "id_b")
+        .join(F.broadcast(pairs), "id_b")
         .withColumnRenamed("_t", "_tb")
     )
     ga = ngrams(F.col("_ta"), shingle_n)
@@ -537,12 +560,30 @@ def simhash_dedup(
             )
         ),
     )
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"), "_key")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"), "_key")
+    # in-bucket ordered combinations from one grouped pass (same
+    # rewrite as minhash_lsh_dedup): the SimHash subtree is evaluated
+    # once, not once per self-join branch, and the band join + one
+    # exchange disappear. sort_array over struct<_id,_sh> orders by id
+    # (ids are unique), so the combination set is deterministic.
+    grouped = (
+        banded.groupBy("_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sh")))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
+    )
     pairs = (
-        a.join(b, "_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
+        grouped.select(F.explode("_ms").alias("_a"), "_ms")
+        .select("_a", F.explode("_ms").alias("_b"))
+        .filter(F.col("_a._id") < F.col("_b._id"))
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._sh").alias("_sa"),
+            F.col("_b._sh").alias("_sb"),
+        )
         .distinct()
     )
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
