@@ -449,7 +449,11 @@ def compact_udf():
             out.append(list(ix.int_to_str(ix.compact_cells(arr))))
         return pd.Series(out)
 
-    return f
+    # compacted lists habitually feed a non-outer explode next (bench
+    # q5, compact_tiles): the inferred size(...) > 0 filter would push
+    # below this projection and re-run the whole polyfill+compact UDF
+    # chain — on the pre-repartition single partition (guide §4.4)
+    return f.asNondeterministic()
 
 
 def uncompact_udf(res: int):
@@ -471,7 +475,8 @@ def uncompact_udf(res: int):
             out.append(list(ix.int_to_str(ix.uncompact_cells(arr, res))))
         return pd.Series(out)
 
-    return f
+    # same explode-filter double-evaluation guard as compact_udf
+    return f.asNondeterministic()
 
 
 # ---------------------------------------------------------------------------

@@ -176,10 +176,17 @@ def pip_join(
                 f"pip_join: polygon key column '{poly_key}' must be unique "
                 f"({stats['n']} rows, {stats['nd']} distinct keys)"
             )
+    # asNondeterministic on both UDFs: the cell equi-join infers
+    # IsNotNull(_cell) and the cover explode infers size(_cov) > 0;
+    # either filter, pushed below its projection, would re-evaluate the
+    # UDF once per row/polygon on top of the original evaluation
+    # (guide §4.4 double-BatchEvalPython pattern)
     pts = points.withColumn(
-        "_cell", H3F.latlng_to_cell_udf(resolution)(F.col(lat_col), F.col(lng_col))
+        "_cell",
+        H3F.latlng_to_cell_udf(resolution)
+        .asNondeterministic()(F.col(lat_col), F.col(lng_col)),
     )
-    cover = udfs.polyfill_cover_classified_udf(resolution)
+    cover = udfs.polyfill_cover_classified_udf(resolution).asNondeterministic()
     # spread the polygon side by key so each cover computation gets its
     # own task — the UDF cost is per-polygon, not per-row-count
     spread = polygons.repartition(F.col(poly_key))
@@ -705,8 +712,12 @@ def radius_join(
         resolution, k_rings,
     )
     # int64 cells (see _query_disks): no per-point hex-string
-    # allocation, long equi-join key; dropped before the output
-    cell = H3F.latlng_to_cell_long_udf(resolution)
+    # allocation, long equi-join key; dropped before the output.
+    # asNondeterministic: the equi-join infers IsNotNull(_cell0), and
+    # pushing that filter below the projection makes the optimizer
+    # evaluate the encode UDF TWICE per point (guide §4.4 — the before
+    # plan carried two ArrowEvalPython nodes for one call site)
+    cell = H3F.latlng_to_cell_long_udf(resolution).asNondeterministic()
     pts = points.select(
         F.col(point_id).alias("_pid"),
         F.col(p_lat).alias("_plat"),

@@ -67,15 +67,24 @@ def synthesize_media(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real decoder hook — gated on an optional dependency."""
+    """Real decoder hook — gated on an optional dependency. With pillow
+    installed, decodes the payload and returns (width, height, mode);
+    tests/test_raster_streaming.py exercises it end-to-end (through the
+    extract_features Arrow boundary) wherever the dependency exists and
+    skips cleanly where it does not."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:  # pragma: no cover - no decoder in container
         raise NotImplementedError(
             "image decoding requires pillow; install it on the cluster "
             "image. The Spark plumbing (schema/batching) works without it "
             "via fake_features()."
         ) from e
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return (im.width, im.height, im.mode)
 
 
 def fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -94,9 +103,13 @@ def fake_features(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(df: DataFrame, dim: int = 8, feature_fn=None) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches — the real
-    100 TB shape: one Python worker pass, batch-at-a-time, narrow."""
+    100 TB shape: one Python worker pass, batch-at-a-time, narrow.
+    ``feature_fn(payload) -> list[float]`` plugs in a real decoder
+    (e.g. one built on :func:`decode_image`); the default stays the
+    deterministic dependency-free :func:`fake_features`."""
+    feat = feature_fn or (lambda p: fake_features(p, dim))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -107,9 +120,7 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "feature": pdf["payload"].map(
-                        lambda p: fake_features(p, dim)
-                    ),
+                    "feature": pdf["payload"].map(feat),
                 }
             )
 

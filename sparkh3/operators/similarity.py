@@ -202,7 +202,11 @@ def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
                 res[i] = top[j].tolist()
         return pd.Series(res)
 
-    return f
+    # every consumer filters or joins on the assignment (IsNotNull /
+    # explode size guard): keep the optimizer from pushing that filter
+    # below the projection and running the matrix multiply twice per
+    # batch (guide §4.4)
+    return f.asNondeterministic()
 
 
 def ivf_train_centroids(

@@ -593,16 +593,25 @@ def cohort_retention(
     deduplicated set, and the final aggregate needs no countDistinct:
     after the distinct, every (user, cohort, offset) is unique by
     construction, so a plain count(*) is the user count. Bucket math
-    is integer floor-division of epoch-µs — exactly reproducible in
-    any engine (timestamps are non-negative in this data model; for
-    pre-epoch data use a floored division).
+    is exact integer floor-division of epoch-µs (decimal-backed, full
+    int64 range, floors for pre-epoch data) — reproducible in any
+    engine.
     """
     if width_us <= 0:
         raise ValueError(f"width_us must be positive, got {width_us}")
     us = _epoch_us(df, ts_col)
+    # genuinely integral floor division (ADVICE r5): the former
+    # (us / width).cast('long') routed through a double — exact only
+    # below 2^53 and truncating (not flooring) for negative epochs.
+    # Decimal division + floor is exact over the full int64 range and
+    # matches the docstring's (and the DuckDB twin's) floor semantics;
+    # for the non-negative fixture timestamps the values are identical.
+    bucket = F.floor(
+        us.cast("decimal(38,0)") / F.lit(int(width_us)).cast("decimal(38,0)")
+    ).cast("long")
     active = df.select(
         F.col(user_col).alias("_u"),
-        (us / F.lit(int(width_us))).cast("long").alias("_b"),
+        bucket.alias("_b"),
     ).distinct()
     w = Window.partitionBy("_u")
     offs = active.withColumn("_cb", F.min("_b").over(w))

@@ -177,12 +177,38 @@ def exact_dedup(
 
 
 def ngrams(text: Column, n: int) -> Column:
-    """Word n-gram shingles (native: sequence + slice)."""
+    """Word n-gram shingles — native, with the token split evaluated a
+    CONSTANT number of times per row.
+
+    The natural sequence+slice form (`transform(sequence(...), i ->
+    concat_ws(' ', slice(tokens, i+1, n)))`) inlines the `tokens`
+    subexpression into the lambda body, and higher-order-function
+    lambdas are interpreted per element — one regex split of the full
+    text per shingle POSITION, O(T^2) per document (dominant cost of
+    every shingling operator in the before profile). Zipping the n
+    shifted token arrays instead materializes per-position structs, so
+    the per-element lambda only reads struct fields: the split runs
+    n+2 times per row, not T times. Output is element-for-element
+    identical (concat_ws skips the nulls that padding introduces only
+    in the T < n row, reproducing the short-document shingle)."""
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    pos_len = F.greatest(F.size(toks), F.lit(1))
+    shifted = [
+        (toks if i == 0 else F.slice(toks, i + 1, pos_len)).alias(f"t{i}")
+        for i in range(n)
+    ]
+    z = F.slice(
+        F.arrays_zip(*shifted),
+        1,
+        F.greatest(F.size(toks) - (n - 1), F.lit(1)),
     )
+    out = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+    )
+    # null text: the sequence+slice form yielded [''] (greatest(NULL,0)
+    # -> one position; concat_ws over a null slice -> ''); the zipped
+    # form nulls out instead — coalesce restores the exact old value
+    return F.coalesce(out, F.array(F.lit("")))
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -609,13 +635,13 @@ def bm25_topk(
     `queries` is (query_id, term). Output: (query_id, doc_id, rank,
     score) ranked by (round(score,6) desc, doc_id asc).
 
-    100 TB shape: ONE tokenize+explode pass feeds everything — doc
-    lengths and corpus stats are derived from the tf aggregate, so the
-    scan+explode+first-exchange subtree is shared (ReusedExchange)
-    rather than recomputed per branch; corpus stats (N, avgdl) ride a
-    broadcast 1-row crossJoin instead of a driver collect; the query
-    terms broadcast-join INTO the postings so only matching postings
-    continue past the scan. The one corpus-proportional piece left is
+    100 TB shape: ONE tokenize+explode pass feeds everything — the tf
+    (postings) aggregate is materialized once (localCheckpoint) and doc
+    lengths, corpus stats, document frequencies and the match join all
+    read from it; corpus stats (N, avgdl) ride a broadcast 1-row
+    crossJoin instead of a driver collect; the query terms
+    broadcast-join INTO the postings so only matching postings continue
+    past the scan. The one corpus-proportional piece left is
     the (doc_id, dl) join that attaches lengths to matched docs — a
     narrow two-column shuffle, inherent to BM25's per-doc normalizer.
     """
@@ -623,6 +649,15 @@ def bm25_topk(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    # materialize the postings aggregate ONCE: four consumers (matched,
+    # dfreq, dl, stats) hang off it, and the intended ReusedExchange
+    # only survives for two of them — per-branch filter pushdown
+    # de-canonicalizes the others, so the physical plan re-ran the
+    # scan+tokenize+explode+partial-agg subtree up to 4x (observed in
+    # plans/r06/x1_bm25_search_before.txt). The postings list is the
+    # artifact a search index materializes anyway; localCheckpoint
+    # keeps no CacheManager entry past the call.
+    tf = tf.localCheckpoint(eager=True)
     # doc length from tf, NOT a second pass over tok: sum of term
     # frequencies per doc == token count, and the tf exchange is reused
     dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))

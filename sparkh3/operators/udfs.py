@@ -294,4 +294,7 @@ def k_ring_udf_int(k: int):
                 out[gi] = lists[li]
         return pd.Series(out)
 
-    return f
+    # the disk column always feeds a non-outer explode, whose inferred
+    # size(...) > 0 filter would otherwise push below the projection and
+    # double-evaluate the UDF (guide §4.4)
+    return f.asNondeterministic()

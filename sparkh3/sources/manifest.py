@@ -187,6 +187,25 @@ def write_table(
     prev_snap = load_snapshot(root) if is_append else None
     prev = int(cur_file.read_text()) if cur_file.exists() else 0
     version = prev + 1
+    if is_append and data_subdir != "data":
+        # a custom generation dir on APPEND must not collide with files
+        # prior snapshots still reference: the parquet write below uses
+        # overwrite semantics, so replacing a referenced directory would
+        # silently break time travel for every older snapshot (ADVICE
+        # r5). The auto data_a<N> rename only protects the default path.
+        prefix = f"{data_subdir}/"
+        referenced = [
+            f["path"]
+            for f in (prev_snap["files"] if prev_snap else [])
+            if f["path"].startswith(prefix)
+        ]
+        if referenced:
+            raise ValueError(
+                f"write_table(mode='append', data_subdir={data_subdir!r}):"
+                f" {len(referenced)} file(s) of the current snapshot live"
+                " under that directory and an append would overwrite them"
+                " — use a fresh generation directory"
+            )
     if is_append and data_subdir == "data":
         # each append lands in its OWN generation directory, written
         # with overwrite semantics: the snapshot adopts exactly what
@@ -455,8 +474,13 @@ def merge_table(
     )
     hit_rel = set()
     for r in hit:
-        p = r["_f"]
-        p = p[len("file:"):] if p.startswith("file:") else p
+        # input_file_name() returns a percent-encoded URI (ADVICE r5):
+        # decode it before resolving, or a table root with spaces/
+        # encoded characters crashes relative_to() instead of matching
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(r["_f"])
+        p = unquote(parsed.path) if parsed.scheme else r["_f"]
         hit_rel.add(str(Path(p).resolve().relative_to(root_p.resolve())))
     affected = [f for f in snap["files"] if f["path"] in hit_rel]
     carried = [f for f in snap["files"] if f["path"] not in hit_rel]

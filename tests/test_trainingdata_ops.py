@@ -1784,3 +1784,47 @@ class TestBandValidation:
             textops.stratified_split(df, {"train": 0.8, "test": 0.2})
         with pytest.raises(TypeError, match="integer"):
             textops.mixture_sample(df, {"en": 1.0})
+
+
+class TestNgramsRewrite:
+    """The zipped-shift ngrams (constant token-split count per row) must
+    be element-for-element identical to the sequence+slice form it
+    replaced — shingle values feed MinHash banding and every shingling
+    oracle lane."""
+
+    def _old_ngrams(self, text, n):
+        toks = textops.tokens(text)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 5])
+    def test_identical_to_sequence_slice_form(self, spark, n):
+        edge = spark.createDataFrame(
+            [
+                (None,),
+                ("",),
+                (" ",),
+                ("one",),
+                ("one two",),
+                ("one two three",),
+                ("a  b   c",),
+                ("  pad  ",),
+                ("w " * 40,),
+            ],
+            "text string",
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "text"
+        )
+        for d in (edge, docs):
+            bad = (
+                d.select(
+                    self._old_ngrams(F.col("text"), n).alias("o"),
+                    textops.ngrams(F.col("text"), n).alias("g"),
+                )
+                .filter(~F.col("o").eqNullSafe(F.col("g")))
+                .count()
+            )
+            assert bad == 0
