@@ -40,6 +40,19 @@ def haversine_km(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Colu
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def _bounded_collect(df: DataFrame, n: int) -> list:
+    """``limit(n).collect()`` in ONE job. A bare CollectLimit runs the
+    incremental executeTake ladder (1, 4, 16, ... partitions — default
+    ``spark.sql.limit.initialNumPartitions=1``), which costs several
+    SEQUENTIAL scheduling round-trips just to fetch a handful of rows
+    from a many-partition frame (measured ~0.9 s vs ~0.4 s for a 28-row
+    query side on this host). The per-partition LocalLimit still bounds
+    what the single-partition exchange moves, so a misdeclared huge
+    side ships at most n rows per upstream partition — bounded, no
+    driver OOM, and the caller's size guard still fires."""
+    return df.limit(n).repartition(1).collect()
+
+
 def _avg_hex_area_km2(res: int) -> float:
     n_cells = 2 + 120 * 7**res
     return 4.0 * math.pi * EARTH_RADIUS_KM**2 / n_cells
@@ -112,7 +125,7 @@ def pip_join(
         # Guardrail: the collect is bounded at max_broadcast_rows + 1 —
         # a misdeclared huge polygon side falls back to the shuffle path
         # instead of OOMing the driver.
-        rows = polygons.limit(max_broadcast_rows + 1).collect()
+        rows = _bounded_collect(polygons, max_broadcast_rows + 1)
         if len(rows) > max_broadcast_rows:
             if resolution is None:
                 # the shuffle path needs one explicit cover resolution:
@@ -305,10 +318,8 @@ def knn_join(
     # one bounded limit-collect is BOTH the strategy-switch size probe
     # and the broadcast input (no separate count job): > threshold rows
     # means the extra collect work was one wasted row batch, not a scan
-    qrows = (
-        queries.select(query_id, q_lat, q_lng)
-        .limit(broadcast_threshold + 1)
-        .collect()
+    qrows = _bounded_collect(
+        queries.select(query_id, q_lat, q_lng), broadcast_threshold + 1
     )
     if 0 < len(qrows) <= broadcast_threshold:
         return _knn_broadcast(
@@ -364,13 +375,21 @@ def _query_disks(
     # the full disk(n_rings) in ONE BFS (per-ring calls would re-expand
     # the whole neighborhood once per ring — O(k^2) probe levels)
     o, c, _ = tv.grid_disk_distances_grouped(qcells, n_rings)
-    disk_rows = [
-        (qrows[oi][query_id], float(qla[oi]), float(qlo[oi]), cs)
-        for oi, cs in zip(o.tolist(), c.view(np.int64).tolist())
-    ]
-    return spark.createDataFrame(
-        disk_rows, ["_qid", "_qlat", "_qlng", "_cell0"]
+    # build through pandas so createDataFrame takes the Arrow path —
+    # the row-list path pickles every disk row through py4j (a few
+    # thousand rows x ~0.2 s of pure serialization per call)
+    import pandas as pd
+
+    ids = [r[query_id] for r in qrows]
+    disks = pd.DataFrame(
+        {
+            "_qid": [ids[oi] for oi in o.tolist()],
+            "_qlat": qla[o],
+            "_qlng": qlo[o],
+            "_cell0": c.view(np.int64),
+        }
     )
+    return spark.createDataFrame(disks)
 
 
 def _knn_broadcast(
@@ -403,10 +422,8 @@ def _knn_broadcast(
         # same guardrail as knn_join's dispatch (VERDICT r5 #7): this
         # path broadcasts the query side, so a misdeclared huge query
         # frame must fail fast, not OOM the driver
-        qrows = (
-            queries.select(query_id, q_lat, q_lng)
-            .limit(65537)
-            .collect()
+        qrows = _bounded_collect(
+            queries.select(query_id, q_lat, q_lng), 65537
         )
         if len(qrows) > 65536:
             raise ValueError(
@@ -448,6 +465,54 @@ def _knn_broadcast(
     per_q = topk.groupBy("_qid").agg(
         F.count("*").alias("_n"), F.max("_dist").alias("_kth")
     )
+    if len(qrows) <= 32:
+        # tiny query side (crossJoin fallback is safe for ALL of it):
+        # certification, straggler routing and the fallback stay
+        # DataFrames — semi/anti joins on the certified set replace the
+        # driver collect, so ONE localCheckpoint action materializes
+        # the whole result instead of a certificate collect followed by
+        # a second assembly action. Same sets by construction.
+        import pandas as pd
+
+        safe = per_q.filter(
+            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(margin))
+        ).select("_qid")
+        done = topk.join(F.broadcast(safe), "_qid", "semi").select(
+            F.col("_qid").alias(query_id),
+            F.col("_pid").alias(point_id),
+            F.col("_dist").alias("dist_km"),
+            F.col("_rank").alias("rank"),
+        )
+        q_small = points.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "_qid": [r[query_id] for r in qrows],
+                    "_qlat": [float(r[q_lat]) for r in qrows],
+                    "_qlng": [float(r[q_lng]) for r in qrows],
+                }
+            )
+        )
+        sq = q_small.join(F.broadcast(safe), "_qid", "anti")
+        cand2 = pts.crossJoin(F.broadcast(sq)).withColumn(
+            "_dist",
+            haversine_km(
+                F.col("_qlat"), F.col("_qlng"), F.col("_plat"), F.col("_plng")
+            ),
+        )
+        rest = (
+            cand2.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_pid").alias(point_id),
+                F.col("_dist").alias("dist_km"),
+                F.col("_rank").alias("rank"),
+            )
+        )
+        out = done.unionByName(rest).localCheckpoint(eager=True)
+        topk.unpersist()
+        pts.unpersist()
+        return out
     safe_ids = [
         r["_qid"]
         for r in per_q.filter(
@@ -692,8 +757,8 @@ def radius_join(
                 else "use a coarser resolution or raise max_ring"
             )
         )
-    qrows = (
-        queries.select(query_id, q_lat, q_lng).limit(max_queries + 1).collect()
+    qrows = _bounded_collect(
+        queries.select(query_id, q_lat, q_lng), max_queries + 1
     )
     if len(qrows) > max_queries:
         raise ValueError(
