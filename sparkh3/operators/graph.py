@@ -125,7 +125,11 @@ def connected_components(
         # round — without it the compounded join/distinct lineage grows
         # exponentially and Catalyst re-optimization OOMs the driver by
         # round ~6 (a path graph needs O(log n) rounds)
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint + fingerprint = ONE action per round: the
+        # fingerprint aggregate touches every partition, so it is the
+        # materializing job for the checkpoint (eager=True would spend
+        # a separate scheduling round-trip per round just to cache)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         fp = _fingerprint(nxt)
         edges = nxt
         if fp == prev:
