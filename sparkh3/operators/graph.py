@@ -68,21 +68,76 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _cc_driver(raw: DataFrame, nodes: DataFrame) -> DataFrame:
+    """In-process union-find over a bounded, already-materialized pair
+    list. Semantics mirror the distributed loop exactly: the node
+    universe is every src/dst value (self-loop-only nodes map to
+    themselves, null nodes ride through as their own singleton), edges
+    are the non-null src != dst pairs, and each node maps to the
+    minimum id of its component. Output schema matches the distributed
+    path (node/cluster_id at the unified src/dst type)."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = raw.collect()
+    node_set = set()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edge_list = []
+    for r in rows:
+        a, b = r[0], r[1]
+        node_set.add(a)
+        node_set.add(b)
+        if a is not None and b is not None and a != b:
+            edge_list.append((a, b))
+    for n in node_set:
+        parent[n] = n
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out_rows = [(n, find(n) if n is not None else None) for n in node_set]
+    ntype = nodes.schema[0].dataType
+    schema = StructType(
+        [StructField("node", ntype, True), StructField("cluster_id", ntype, True)]
+    )
+    return raw.sparkSession.createDataFrame(out_rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 65536,
 ) -> DataFrame:
     """(src, dst) undirected pair list -> (node, cluster_id) where
     cluster_id is the minimum node id in the component. Every node that
     appears in `pairs` gets a row (component minima map to themselves).
 
-    Convergence is detected by an order-insensitive fingerprint of the
-    edge set (count + xor-ish sum of per-edge hashes) — one tiny
-    aggregate per round, no driver-side edge materialization. `max_iter`
-    bounds the worst case (a path graph needs O(log n) rounds); dedup
-    graphs converge in 2-3.
+    Pair lists up to `driver_threshold` rows (a few MB — the same order
+    as a broadcast relation) are clustered with an in-process
+    union-find: the star-contraction loop costs one scheduling
+    round-trip per round, which dominates end-to-end latency when the
+    edge set is tiny (measured ~1 s for a 256-edge graph = pure
+    per-action overhead). The result is identical by construction —
+    union-find with min-id roots computes the same (node, min-id)
+    mapping the star fixed point converges to. Larger pair lists run
+    the distributed loop below; the threshold is a row count, not a
+    tuned-to-host constant.
+
+    Distributed path: convergence is detected by an order-insensitive
+    fingerprint of the edge set (count + xor-ish sum of per-edge
+    hashes) — one tiny aggregate per round, no driver-side edge
+    materialization. `max_iter` bounds the worst case (a path graph
+    needs O(log n) rounds); dedup graphs converge in 2-3.
     """
     raw = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # materialize the RAW pair list exactly once: nodes, the empty
@@ -102,6 +157,10 @@ def connected_components(
         .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # cheap on the materialized checkpoint (no recompute); decides the
+    # in-process vs distributed strategy
+    if raw.count() <= driver_threshold:
+        return _cc_driver(raw, nodes)
     edges = (
         raw.filter(F.col("src") != F.col("dst"))
         .distinct()

@@ -49,6 +49,30 @@ class TestConnectedComponents:
     def test_two_components_and_chain(self, spark):
         self._check(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)])
 
+    def test_driver_path_equals_distributed_loop(self, spark):
+        """The bounded in-process union-find (default for small pair
+        lists) and the star-contraction loop (forced via
+        driver_threshold=0) must agree exactly — including self-loop
+        singletons and duplicate/reversed edges."""
+        edges = [(1, 2), (2, 3), (3, 1), (9, 9), (7, 5), (5, 7), (4, 8)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        slow = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert fast == slow
+        want = set(
+            _uf_components(
+                [(a, b) for a, b in edges if a != b],
+                sorted({n for e in edges for n in e}),
+            ).items()
+        )
+        assert fast == want
+
     def test_long_path_worst_case(self, spark):
         # a 40-node path: the shape that defeats naive one-hop label
         # propagation in few rounds; star-alternation must still finish

@@ -200,6 +200,29 @@ class TestKnnJoin:
         assert got.count() == 0
         assert set(got.columns) == {"query_id", "point_id", "dist_km", "rank"}
 
+    def test_knn_nested_loop_equals_certificate_path(self, spark):
+        """The tiny-query-side nested-loop strategy and the
+        ring-certificate broadcast strategy (forced via
+        nested_loop_queries=0) must produce identical (qid, rank) ->
+        pid assignments AND identical distances."""
+        sdf = datagen.interleaved_documents(spark, SF_DIR)
+        pts = spans.extract_geometry(sdf).select(
+            F.col("doc_id").alias("point_id"), "lat", "lng"
+        )
+        queries = spark.createDataFrame(
+            [Row(query_id=1, lat=40.75, lng=-73.99),
+             Row(query_id=2, lat=51.5, lng=-0.1),
+             Row(query_id=3, lat=0.0, lng=0.0)]
+        )
+        nested = joins.knn_join(queries, pts, k=5, resolution=5)
+        cert = joins.knn_join(
+            queries, pts, k=5, resolution=5, nested_loop_queries=0
+        )
+        key = lambda rows: {
+            (r.query_id, r.rank): (r.point_id, r.dist_km) for r in rows
+        }
+        assert key(nested.collect()) == key(cert.collect())
+
     def test_knn_broadcast_equals_iterative(self, spark):
         sdf = datagen.interleaved_documents(spark, SF_DIR)
         pts = spans.extract_geometry(sdf).select(
